@@ -1,0 +1,193 @@
+"""Training engine tests: sampler, augmentations, loss, end-to-end smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xvr_tpu.geometry import convert
+from xvr_tpu.io import save_nifti
+from xvr_tpu.train import get_random_pose, pose_regression_loss, xray_augmentations
+from xvr_tpu.train.checkpoint import load_checkpoint
+from xvr_tpu.train.trainer import Trainer, pad_volumes
+from xvr_tpu.render.volume import Volume
+
+
+RANGES = dict(
+    alphamin=-15.0, alphamax=15.0, betamin=-15.0, betamax=15.0,
+    gammamin=-15.0, gammamax=15.0, txmin=-10.0, txmax=10.0,
+    tymin=150.0, tymax=250.0, tzmin=-10.0, tzmax=10.0,
+)
+
+
+def test_random_pose_ranges():
+    pose = get_random_pose(jax.random.PRNGKey(0), batch_size=64, **RANGES)
+    assert pose.matrix.shape == (64, 4, 4)
+    t = np.asarray(pose.t)
+    assert (t[:, 1] >= 150).all() and (t[:, 1] <= 250).all()
+    assert (np.abs(t[:, 0]) <= 10).all()
+    rot, _ = pose.convert("euler_angles", "ZXY", degrees=True)
+    assert (np.abs(np.asarray(rot)) <= 15.5).all()
+
+
+def test_random_pose_circle_shift():
+    pose = get_random_pose(
+        jax.random.PRNGKey(1), batch_size=16,
+        alphamin=170.0, alphamax=190.0, betamin=0, betamax=0, gammamin=0, gammamax=0,
+        txmin=0, txmax=0, tymin=0, tymax=0, tzmin=0, tzmax=0,
+    )
+    rot, _ = pose.convert("euler_angles", "ZXY", degrees=True)
+    a = np.asarray(rot[:, 0])
+    # wrapped to (-180, 180]: values near +-180, none in the middle
+    assert ((np.abs(a) >= 169.5) | (np.abs(a) <= 0.6)).all()
+
+
+def test_augmentations_shapes_and_determinism():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 64, 64))
+    key = jax.random.PRNGKey(42)
+    a1 = xray_augmentations(key, x, p=0.9)
+    a2 = xray_augmentations(key, x, p=0.9)
+    assert a1.shape == x.shape
+    np.testing.assert_allclose(a1, a2)  # same key -> same augmentation
+    a3 = xray_augmentations(jax.random.PRNGKey(43), x, p=0.9)
+    assert not np.allclose(a1, a3)  # different key -> different
+    assert np.isfinite(np.asarray(a1)).all()
+
+
+def test_augmentations_p_zero_is_standardize_only():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 32, 32))
+    out = xray_augmentations(jax.random.PRNGKey(1), x, p=0.0)
+    lo = x.min(axis=(1, 2, 3), keepdims=True)
+    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    np.testing.assert_allclose(out, (x - lo) / (hi - lo + 1e-6), atol=1e-5)
+
+
+def test_pose_regression_loss_zero_for_perfect():
+    B = 4
+    img = jax.random.uniform(jax.random.PRNGKey(0), (B, 1, 16, 16))
+    pose = convert(
+        jax.random.normal(jax.random.PRNGKey(1), (B, 3)) * 0.1,
+        jax.random.normal(jax.random.PRNGKey(2), (B, 3)) * 10,
+        "euler_angles", "ZXY",
+    )
+    keep = jnp.ones(B)
+    loss, metrics = pose_regression_loss(
+        img, None, pose, img, None, pose, keep, sdd=1000.0
+    )
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-3)
+    np.testing.assert_allclose(float(metrics["mncc"]), 1.0, atol=1e-4)
+
+
+def test_pose_regression_loss_keep_masks_samples():
+    B = 4
+    img = jax.random.uniform(jax.random.PRNGKey(0), (B, 1, 16, 16))
+    bad = img.at[0].set(0.123)  # constant image -> low ncc for sample 0
+    pose = convert(jnp.zeros((B, 3)), jnp.zeros((B, 3)), "euler_angles", "ZXY")
+    loss_all, _ = pose_regression_loss(img, None, pose, bad, None, pose, jnp.ones(B), 1000.0)
+    keep = jnp.ones(B).at[0].set(0.0)
+    loss_masked, _ = pose_regression_loss(img, None, pose, bad, None, pose, keep, 1000.0)
+    assert float(loss_masked) < float(loss_all)
+    np.testing.assert_allclose(float(loss_masked), 0.0, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """A small synthetic CT (sphere + gradient) on disk."""
+    d = tmp_path_factory.mktemp("data")
+    n = 24
+    c = (n - 1) / 2
+    idx = np.arange(n)
+    X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+    r2 = (X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2
+    hu = np.where(r2 <= (n / 3) ** 2, 200.0, -1000.0).astype(np.float32)
+    hu += np.where(r2 <= (n / 6) ** 2, 800.0, 0.0)  # "bone" core
+    affine = np.eye(4) * 4.0
+    affine[3, 3] = 1.0
+    affine[:3, 3] = -c * 4.0
+    save_nifti(d / "volume.nii.gz", hu, affine)
+    mask = np.where(r2 <= (n / 6) ** 2, 1.0, 0.0).astype(np.float32)
+    save_nifti(d / "mask.nii.gz", mask, affine)
+    return d
+
+
+def make_trainer(tiny_dataset, outdir, **kw):
+    defaults = dict(
+        volpath=tiny_dataset / "volume.nii.gz",
+        maskpath=None,
+        outpath=outdir,
+        sdd=400.0, height=32, delx=4.0,
+        model_name="resnet18",
+        batch_size=3,
+        n_total_itrs=4,
+        n_warmup_itrs=1,
+        n_grad_accum_itrs=2,
+        n_save_every_itrs=100,
+        lr=1e-3,
+        **RANGES,
+    )
+    defaults.update(kw)
+    return Trainer(**defaults)
+
+
+def test_trainer_end_to_end(tiny_dataset, tmp_path):
+    tr = make_trainer(tiny_dataset, tmp_path / "out")
+    m0 = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m0["loss"])
+    assert 0.0 <= m0["kept"] <= 1.0
+    last = tr.train(progress=False)
+    assert np.isfinite(last["loss"])
+    # final checkpoint written
+    ckpts = sorted((tmp_path / "out").glob("*.ckpt"))
+    assert ckpts, "no checkpoint written"
+    ck = load_checkpoint(ckpts[-1])
+    assert ck["config"]["height"] == 32
+    assert "model_state_dict" in ck
+
+
+def test_trainer_params_change(tiny_dataset, tmp_path):
+    tr = make_trainer(tiny_dataset, tmp_path / "out2", n_total_itrs=4, n_grad_accum_itrs=1)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.params)
+    kept = 0.0
+    for i in range(4):  # several steps: a single batch can fail the keep-filter
+        kept += float(jax.device_get(tr.step(i))["kept"])
+    assert kept > 0, "no sample ever passed the keep-filter"
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), before, tr.params
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_trainer_restart_roundtrip(tiny_dataset, tmp_path):
+    out = tmp_path / "out3"
+    tr = make_trainer(tiny_dataset, out, n_total_itrs=2, n_save_every_itrs=1)
+    tr.train(progress=False)
+    tr2 = make_trainer(
+        tiny_dataset, out, n_total_itrs=3, ckptpath=out, reuse_optimizer=True
+    )
+    assert tr2.start_itr > 0
+    before = jax.tree.leaves(tr.params)
+    after = jax.tree.leaves(tr2.params)
+    for a, b in zip(before, after):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_with_mask(tiny_dataset, tmp_path):
+    tr = make_trainer(
+        tiny_dataset, tmp_path / "out4",
+        maskpath=tiny_dataset / "mask.nii.gz",
+        n_total_itrs=1, n_grad_accum_itrs=1,
+    )
+    assert tr.labels == (1,)
+    m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m["loss"]) and np.isfinite(m["dice"])
+
+
+def test_pad_volumes():
+    a = Volume(data=jnp.zeros((4, 6, 8)), affine=jnp.eye(4), mask=None)
+    b = Volume(data=jnp.zeros((6, 4, 8)), affine=jnp.eye(4), mask=jnp.zeros((6, 4, 8), jnp.int32))
+    out = pad_volumes([a, b])
+    assert out[0].data.shape == (6, 6, 8)
+    assert out[1].data.shape == (6, 6, 8)
+    assert out[1].mask.shape == (6, 6, 8)
+    # padding is air
+    assert float(out[0].data[5].max()) == -1000.0

@@ -1,0 +1,130 @@
+"""Image-similarity metrics: NCC, multiscale NCC, gradient NCC.
+
+Replaces ``diffdrr.metrics`` image metrics (contract from call sites:
+``MultiscaleNormalizedCrossCorrelation2d([None, 9], [0.5, 0.5])`` at
+/root/reference/src/xvr/model/loss.py:16 and registrar/base.py:118-120;
+``GradientNormalizedCrossCorrelation2d(patch_size, sigma)`` at
+registrar/base.py:121).
+
+All metrics take (B, C, H, W) image batches and return a per-item (B,) score
+in [-1, 1] (1 = identical up to affine intensity). Everything is expressed as
+windowed moments via ``lax.reduce_window`` so XLA lowers the hot path to a
+handful of fused reductions — no explicit patch extraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _flatten_moments(x: jnp.ndarray):
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+    return mean, var
+
+
+def ncc(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Global normalized cross correlation, (B, C, H, W) -> (B,)."""
+    mx, vx = _flatten_moments(x)
+    my, vy = _flatten_moments(y)
+    cov = jnp.mean((x - mx) * (y - my), axis=(1, 2, 3))
+    return cov / jnp.sqrt(jnp.clip(vx[:, 0, 0, 0] * vy[:, 0, 0, 0], eps))
+
+
+def _window_mean(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    s = lax.reduce_window(x, 0.0, lax.add, (1, 1, p, p), (1, 1, 1, 1), "VALID")
+    return s / (p * p)
+
+
+def local_ncc(x: jnp.ndarray, y: jnp.ndarray, patch_size: int, eps: float = 1e-10) -> jnp.ndarray:
+    """Patchwise (local) NCC averaged over all valid patch centers -> (B,)."""
+    p = patch_size
+    mx, my = _window_mean(x, p), _window_mean(y, p)
+    cov = _window_mean(x * y, p) - mx * my
+    vx = _window_mean(x * x, p) - mx * mx
+    vy = _window_mean(y * y, p) - my * my
+    n = cov / jnp.sqrt(jnp.clip(vx, eps) * jnp.clip(vy, eps))
+    return jnp.mean(n, axis=(1, 2, 3))
+
+
+def multiscale_ncc(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    patch_sizes=(None, 9),
+    patch_weights=(0.5, 0.5),
+) -> jnp.ndarray:
+    """Weighted mix of global and local NCC (the training/registration
+    similarity, loss.py:16, registrar/base.py:118-120)."""
+    out = 0.0
+    for p, w in zip(patch_sizes, patch_weights):
+        out = out + w * (ncc(x, y) if p is None else local_ncc(x, y, int(p)))
+    return out
+
+
+_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+
+
+def _depthwise2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Same-padded single-kernel depthwise conv over (B, C, H, W)."""
+    C = x.shape[1]
+    k = jnp.broadcast_to(kernel, (C, 1) + kernel.shape)
+    return lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+    )
+
+
+def sobel(x: jnp.ndarray) -> jnp.ndarray:
+    """Spatial gradients: (B, C, H, W) -> (B, 2C, H, W) [d/dx, d/dy]."""
+    gx = _depthwise2d(x, _SOBEL_X.astype(x.dtype))
+    gy = _depthwise2d(x, _SOBEL_Y.astype(x.dtype))
+    return jnp.concatenate([gx, gy], axis=1)
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    if sigma <= 0:
+        return x
+    radius = max(int(3.0 * sigma + 0.5), 1)
+    t = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    k1 = jnp.exp(-0.5 * (t / sigma) ** 2)
+    k1 = k1 / jnp.sum(k1)
+    x = _depthwise2d(x, k1[None, :])
+    x = _depthwise2d(x, k1[:, None])
+    return x
+
+
+def gradient_ncc(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    patch_size: int = 11,
+    sigma: float = 0.0,
+) -> jnp.ndarray:
+    """Local NCC of Sobel gradients (edge-sensitive similarity used by the
+    registrar, registrar/base.py:121-123), optionally after Gaussian blur."""
+    x = sobel(gaussian_blur(x, sigma))
+    y = sobel(gaussian_blur(y, sigma))
+    return local_ncc(x, y, patch_size)
+
+
+def make_imagesim(
+    mncc_patch_size: int = 9,
+    gncc_patch_size: int = 11,
+    sigma: float = 0.0,
+    beta: float = 0.5,
+):
+    """``beta * mNCC + (1 - beta) * gNCC`` — the registrar's similarity
+    (semantics of registrar/base.py:115-123)."""
+
+    @jax.jit
+    def imagesim(x, y):
+        s = beta * multiscale_ncc(x, y, (None, mncc_patch_size), (0.5, 0.5))
+        if beta < 1.0:
+            s = s + (1.0 - beta) * gradient_ncc(x, y, gncc_patch_size, sigma)
+        return s
+
+    return imagesim

@@ -1,0 +1,342 @@
+"""Pose-regression training engine.
+
+TPU-first re-design of /root/reference/src/xvr/model/trainer.py:19-337. The
+entire step — pose sampling, HU->density transfer with a random bone contrast,
+DRR rendering, augmentation, CNN forward, composite loss, AGC-clipped Adam
+update with gradient accumulation — is ONE jitted program; the host loop only
+feeds PRNG keys (and, for multi-CT training, swaps the volume leaves of the
+Projector pytree). Dynamic keep-filtering (trainer.py:200-205) is replaced by
+loss masking so shapes stay static.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..geometry import RigidTransform, make_translation
+from ..io.volumes import read
+from ..models import PoseRegressor, init_pose_regressor
+from ..render.projector import Projector
+from ..render.volume import Volume, transform_hu_to_density
+from ..utils.itk import get_4x4
+from ..utils.transforms import make_xray_transforms
+from .augmentations import xray_augmentations
+from .checkpoint import latest_checkpoint, load_checkpoint, restore_into, save_checkpoint
+from .loss import pose_regression_loss
+from .sampler import get_random_pose
+from .schedule import identity_schedule, warmup_cosine_schedule
+
+IMG_THRESHOLD = 0.10  # keep if >10% of pixels are nonzero (trainer.py:298)
+MASK_THRESHOLD = 0.05  # keep if >5% of pixels hit masked structures (trainer.py:302)
+
+
+def pad_volumes(volumes: list[Volume]) -> list[Volume]:
+    """Zero-pad a list of volumes to a common static shape.
+
+    Multi-CT training feeds different subjects through ONE compiled step;
+    XLA needs a single static volume shape, so every subject is padded (with
+    air, -1000 HU) to the elementwise max shape. World geometry is unchanged
+    because the affine is kept and padding extends past the original extent.
+    """
+    shapes = np.array([v.data.shape for v in volumes])
+    target = tuple(int(x) for x in shapes.max(axis=0))
+    out = []
+    for v in volumes:
+        pads = [(0, t - s) for t, s in zip(target, v.data.shape)]
+        data = jnp.pad(v.data, pads, constant_values=-1000.0)
+        mask = jnp.pad(v.mask, pads) if v.mask is not None else None
+        out.append(Volume(data=data, affine=v.affine, mask=mask, orientation=v.orientation))
+    return out
+
+
+class Trainer:
+    """Train a PoseRegressor by rendering DRRs at random poses.
+
+    Accepts the reference trainer's full argument surface
+    (trainer.py:20-72); ``num_workers``/``pin_memory`` are accepted for CLI
+    compatibility but unused (loading is synchronous NumPy — volumes live in
+    device memory for the whole run).
+    """
+
+    def __init__(
+        self,
+        volpath,
+        maskpath,
+        outpath,
+        alphamin, alphamax, betamin, betamax, gammamin, gammamax,
+        txmin, txmax, tymin, tymax, tzmin, tzmax,
+        sdd,
+        height,
+        delx,
+        orientation="AP",
+        reverse_x_axis=False,
+        renderer="trilinear",
+        parameterization="quaternion_adjugate",
+        convention="ZXY",
+        model_name="resnet18",
+        pretrained=False,
+        norm_layer="groupnorm",
+        unit_conversion_factor=1000.0,
+        p_augmentation=0.333,
+        lr=2e-4,
+        weight_ncc=1.0,
+        weight_geo=1e-2,
+        weight_dice=1.0,
+        weight_mvc=0.0,
+        batch_size=116,
+        n_total_itrs=1_000_000,
+        n_warmup_itrs=1_000,
+        n_grad_accum_itrs=4,
+        n_save_every_itrs=1_000,
+        disable_scheduler=False,
+        ckptpath=None,
+        reuse_optimizer=False,
+        warp=None,
+        invert=False,
+        patch_size=None,
+        num_workers=4,
+        pin_memory=False,
+        weights=None,
+        seed=0,
+    ):
+        cfg = dict(locals())
+        cfg.pop("self")
+        self.config = cfg
+
+        self.outpath = Path(outpath)
+        self.outpath.mkdir(parents=True, exist_ok=True)
+        self.batch_size = int(batch_size)
+        self.n_total_itrs = int(n_total_itrs)
+        self.n_grad_accum_itrs = int(n_grad_accum_itrs)
+        self.n_save_every_itrs = int(n_save_every_itrs)
+        self.sdd = float(sdd)
+        self.p_augmentation = float(p_augmentation)
+        self.pose_ranges = dict(
+            alphamin=alphamin, alphamax=alphamax, betamin=betamin, betamax=betamax,
+            gammamin=gammamin, gammamax=gammamax, txmin=txmin, txmax=txmax,
+            tymin=tymin, tymax=tymax, tzmin=tzmin, tzmax=tzmax,
+        )
+        self.loss_weights = dict(
+            weight_ncc=weight_ncc, weight_geo=weight_geo,
+            weight_dice=weight_dice, weight_mvc=weight_mvc,
+        )
+
+        # ---- subjects ----
+        self.subject_weights = weights
+        self.volumes, self.single_subject = self._initialize_subjects(
+            volpath, maskpath, orientation
+        )
+
+        # ---- projector (detector static; volume leaves swap per subject) ----
+        labels = None
+        if self.volumes[0].mask is not None:
+            present = set()
+            for v in self.volumes:
+                present |= set(int(x) for x in np.unique(np.asarray(v.mask)))
+            labels = tuple(sorted(present - {0}))
+        self.labels = labels
+        self.projectors = [
+            Projector.from_volume(
+                v, sdd=sdd, height=height, delx=delx,
+                reverse_x_axis=reverse_x_axis, renderer=renderer, labels=labels,
+            )
+            for v in self.volumes
+        ]
+        self.centers = [v.center for v in self.volumes]
+
+        # ---- model ----
+        self.model = PoseRegressor(
+            model_name=model_name,
+            parameterization=parameterization,
+            convention=convention,
+            norm_layer=norm_layer,
+            unit_conversion_factor=unit_conversion_factor,
+        )
+        key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_pose_regressor(self.model, init_key, int(height))
+
+        # ---- optimizer ----
+        if disable_scheduler:
+            schedule = identity_schedule(lr)
+        else:
+            schedule = warmup_cosine_schedule(
+                lr, n_warmup_itrs / n_grad_accum_itrs, n_total_itrs / n_grad_accum_itrs
+            )
+        self.schedule = schedule
+        inner = optax.chain(
+            optax.adaptive_grad_clip(0.01, eps=1e-3),  # timm AGC (trainer.py:227)
+            optax.adam(schedule),
+        )
+        self.tx = optax.MultiSteps(inner, every_k_schedule=int(n_grad_accum_itrs))
+        self.opt_state = self.tx.init(self.params)
+
+        # ---- checkpoint restore (xvr restart semantics) ----
+        self.start_itr, self.model_number = 0, 0
+        if ckptpath is not None:
+            path = latest_checkpoint(ckptpath)
+            if path is not None:
+                ckpt = load_checkpoint(path)
+                self.params = restore_into(self.params, ckpt["model_state_dict"])
+                if reuse_optimizer:
+                    self.opt_state = restore_into(
+                        self.opt_state, ckpt["optimizer_state_dict"]
+                    )
+                    self.start_itr = int(ckpt["itr"])
+                    self.model_number = int(ckpt["model_number"])
+
+        # ---- template->patient reframe (trainer.py:145, utils/ants.py) ----
+        self.reframe = None
+        if warp is not None:
+            self.reframe = get_4x4(warp, volpath, invert)
+
+        self.transforms = make_xray_transforms(int(height))
+        self._step = self._build_step()
+        self._logfile = self.outpath / "train_log.jsonl"
+
+    # ------------------------------------------------------------------
+    def _initialize_subjects(self, volpath, maskpath, orientation):
+        volpath = Path(volpath)
+        if volpath.is_file():
+            return [read(volpath, maskpath, orientation=orientation)], True
+        vols = sorted(p for p in volpath.glob("[!.]*.nii*"))
+        if not vols:
+            raise FileNotFoundError(f"No volumes found in {volpath}")
+        masks = (
+            sorted(Path(maskpath).glob("[!.]*.nii*")) if maskpath is not None else [None] * len(vols)
+        )
+        subjects = [read(v, m, orientation=orientation) for v, m in zip(vols, masks)]
+        return pad_volumes(subjects), len(subjects) == 1
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        model = self.model
+        ranges = {k: float(v) for k, v in self.pose_ranges.items()}
+        batch_size = self.batch_size
+        sdd = self.sdd
+        weights = self.loss_weights
+        p_aug = self.p_augmentation
+        transforms = self.transforms
+        use_reframe = self.reframe is not None
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, projector: Projector, center, reframe):
+            k_pose, k_contrast, k_aug = jax.random.split(key, 3)
+
+            # Sample poses about the isocenter, then shift to the volume center
+            pose = get_random_pose(k_pose, batch_size=batch_size, **ranges)
+            pose = pose.compose(make_translation(center))
+
+            # Random bone contrast (trainer.py:124,196)
+            contrast = jax.random.uniform(k_contrast, (), minval=1.0, maxval=10.0)
+            density = transform_hu_to_density(projector.volume.data, contrast)
+
+            # Target DRRs (no gradient; trainer.py:199-205)
+            src, tgt = projector.rays(pose)
+            raw = projector.render_rays(src, tgt, density=density)
+            raw = projector.reshape_transform(raw, batch_size)  # (B, C, H, W)
+            raw = jax.lax.stop_gradient(raw)
+            fg = (raw > 0).astype(raw.dtype)
+            img = jnp.sum(raw, axis=1, keepdims=True)
+            if raw.shape[1] > 1:
+                hit = (jnp.sum(raw[:, 1:], axis=1, keepdims=True) > 0).astype(raw.dtype)
+                keep = jnp.mean(hit, axis=(1, 2, 3)) > MASK_THRESHOLD
+            else:
+                keep = jnp.mean(fg, axis=(1, 2, 3)) > IMG_THRESHOLD
+            keep = keep.astype(img.dtype)
+
+            # Augment + normalize the network input
+            x = transforms(xray_augmentations(k_aug, img, p=p_aug))
+
+            def loss_fn(params):
+                rot, xyz = model.apply(params, x)
+                pred_pose = model.decode(rot, xyz)
+                if use_reframe:
+                    pred_pose = pred_pose.compose(RigidTransform(reframe))
+                # Differentiable re-render at the predicted poses
+                psrc, ptgt = projector.rays(pred_pose)
+                praw = projector.render_rays(psrc, ptgt, density=density)
+                praw = projector.reshape_transform(praw, batch_size)
+                pfg = (praw > 0).astype(praw.dtype)
+                pimg = jnp.sum(praw, axis=1, keepdims=True)
+                loss, metrics = pose_regression_loss(
+                    transforms(img), fg, pose,
+                    transforms(pimg), pfg, pred_pose,
+                    keep, sdd, **weights,
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["loss"] = loss
+            return params, opt_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _pick_subject(self, key) -> int:
+        if len(self.projectors) == 1:
+            return 0
+        w = self.subject_weights
+        if w is None:
+            w = np.ones(len(self.projectors))
+        w = np.asarray(w, dtype=np.float64)
+        return int(np.random.default_rng(int(jax.random.bits(key))).choice(len(self.projectors), p=w / w.sum()))
+
+    def step(self, itr: int):
+        self.key, k_subj, k_step = jax.random.split(self.key, 3)
+        idx = self._pick_subject(k_subj)
+        reframe = (
+            self.reframe.matrix if self.reframe is not None else jnp.eye(4)
+        )
+        self.params, self.opt_state, metrics = self._step(
+            self.params, self.opt_state, k_step,
+            self.projectors[idx], self.centers[idx], reframe,
+        )
+        return metrics
+
+    def train(self, run=None, log_every: int = 1, progress: bool = True):
+        """Host training loop with checkpointing and logging
+        (trainer.py:153-183 semantics; per-step exceptions are not swallowed —
+        the jitted step is shape-static and cannot fail sporadically)."""
+        t0 = time.time()
+        last = {}
+        for itr in range(self.start_itr, self.n_total_itrs):
+            if itr % self.n_save_every_itrs == 0:
+                self._checkpoint(itr)
+            metrics = self.step(itr)
+            if itr % log_every == 0:
+                last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                last["itr"] = itr
+                last["lr"] = float(self.schedule(itr // self.n_grad_accum_itrs))
+                last["elapsed"] = time.time() - t0
+                self._log(last, run)
+                if progress and itr % 50 == 0:
+                    msg = " ".join(
+                        f"{k}={v:.4f}" for k, v in last.items() if k not in ("itr", "elapsed")
+                    )
+                    print(f"[{itr}/{self.n_total_itrs}] {msg}", flush=True)
+        self._checkpoint(self.n_total_itrs)
+        return last
+
+    # ------------------------------------------------------------------
+    def _log(self, metrics: dict, run=None):
+        with open(self._logfile, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+        if run is not None:
+            run.log(metrics)
+
+    def _checkpoint(self, itr: int):
+        path = self.outpath / f"{self.model_number:04d}.ckpt"
+        save_checkpoint(path, self.params, self.opt_state, itr, self.model_number, self.config)
+        print(f"Saving checkpoint: {path}", flush=True)
+        self.model_number += 1
