@@ -1,0 +1,161 @@
+"""Registrar tests: the end-to-end convergence test on a synthetic phantom.
+
+A DRR rendered at a known pose is written as a DICOM "X-ray"; the registrar
+starts from a perturbed pose and must recover the ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xvr_tpu.geometry import convert
+from xvr_tpu.io import dcmwrite, save_nifti
+from xvr_tpu.metrics import double_geodesic
+from xvr_tpu.registrar import RegistrarFixed, RegistrarRestart, Registration
+from xvr_tpu.registrar.base import _parse_scales
+from xvr_tpu.render import Projector
+from xvr_tpu.io.volumes import read
+
+
+SDD, HEIGHT, DELX = 400.0, 64, 3.0
+
+
+@pytest.fixture(scope="module")
+def phantom(tmp_path_factory):
+    d = tmp_path_factory.mktemp("reg")
+    n, sp = 32, 4.0
+    c = (n - 1) / 2
+    X, Y, Z = np.meshgrid(*([np.arange(n)] * 3), indexing="ij")
+    r2 = (X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2
+    hu = np.where(r2 <= (n / 3) ** 2, 100.0, -1000.0).astype(np.float32)
+    hu += np.where(r2 <= (n / 8) ** 2, 900.0, 0.0)
+    # an off-center marker to break rotational symmetry
+    hu[int(c) + 4 : int(c) + 8, int(c) - 2 : int(c) + 2, int(c) + 3 : int(c) + 9] = 1500.0
+    aff = np.eye(4) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -c * sp
+    save_nifti(d / "ct.nii.gz", hu, aff)
+    return d
+
+
+@pytest.fixture(scope="module")
+def gt_xray(phantom):
+    vol = read(phantom / "ct.nii.gz")
+    proj = Projector.from_volume(vol, sdd=SDD, height=HEIGHT, delx=DELX)
+    gt_pose = convert(
+        jnp.array([[3.0, -2.0, 4.0]]), jnp.array([[2.0, 220.0, -3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    img = np.asarray(proj(gt_pose))[0, 0]
+    img16 = (img / img.max() * 60000).astype(np.uint16)
+    p = phantom / "xray.dcm"
+    dcmwrite(p, img16, sdd=SDD, row_spacing=DELX, col_spacing=DELX)
+    return p, gt_pose
+
+
+def test_parse_scales():
+    # stage factor x * H / (H + crop): detector renders at (H+crop)/x px
+    f = _parse_scales("24,12,6", crop=100, height=1336)
+    np.testing.assert_allclose(f, [24 * 1336 / 1436, 12 * 1336 / 1436, 6 * 1336 / 1436])
+
+
+def test_registration_module(phantom):
+    vol = read(phantom / "ct.nii.gz")
+    proj = Projector.from_volume(vol, sdd=SDD, height=32, delx=6.0)
+    reg = Registration(proj, jnp.zeros((1, 3)), jnp.array([[0.0, 220.0, 0.0]]))
+    img = reg()
+    assert img.shape == (1, 1, 32, 32)
+    assert np.asarray(reg.pose.matrix).shape == (1, 4, 4)
+
+
+def test_registrar_converges(phantom, gt_xray):
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    # perturb: ~3 deg, ~8 mm
+    rot_init = np.asarray(rot0)[0] + np.deg2rad([3.0, -2.0, 2.0])
+    xyz_init = np.asarray(xyz0)[0] + np.array([6.0, -8.0, 5.0])
+
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz",
+        mask=None,
+        orientation="AP",
+        rot=rot_init.tolist(),
+        xyz=xyz_init.tolist(),
+        linearize=False,
+        scales="2,1",
+        n_itrs="150,100",
+        reverse_x_axis=False,
+        lr_rot=5e-3,
+        lr_xyz=1.0,
+        max_n_plateaus=4,
+        verbose=0,
+    )
+    out = reg.run(xray_path, beta=1.0)  # pure mNCC for speed
+    gt, intrinsics, proj, init_pose, final_pose, kwargs = out
+
+    *_, d_init = double_geodesic(gt_pose, init_pose, SDD)
+    *_, d_final = double_geodesic(gt_pose, final_pose, SDD)
+    d_init, d_final = float(np.squeeze(d_init)), float(np.squeeze(d_final))
+    # single-view registration: depth (ty) is only weakly observable, so the
+    # double-geodesic floor is a few mm on this tiny phantom
+    assert d_final < d_init / 3, f"did not converge: {d_init:.2f} -> {d_final:.2f} mm"
+    assert d_final < 8.0, f"final pose error too large: {d_final:.2f} mm"
+    assert kwargs["runtime"] > 0
+    traj = kwargs["trajectory"]
+    assert len(traj["params"]) == len(traj["times"]) == len(traj["lrs"])
+    assert len(traj["ncc"]) >= 2
+    # similarity improved over the run
+    assert traj["ncc"][-1] > traj["ncc"][0]
+
+
+def test_registrar_init_only(phantom, gt_xray):
+    xray_path, gt_pose = gt_xray
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=[0.0, 0.0, 0.0], xyz=[0.0, 220.0, 0.0],
+        linearize=False, scales="2", n_itrs="10",
+        reverse_x_axis=False, init_only=True, verbose=0,
+    )
+    gt, intrinsics, proj, init_pose, final_pose, kwargs = reg.run(xray_path)
+    assert final_pose is None
+    assert intrinsics["height"] == HEIGHT
+    # x0 sign flip semantics
+    assert intrinsics["x0"] == 0.0
+
+
+def test_registrar_call_saves_bundle(phantom, gt_xray, tmp_path):
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=np.asarray(rot0)[0].tolist(), xyz=np.asarray(xyz0)[0].tolist(),
+        linearize=False, scales="4", n_itrs="5",
+        reverse_x_axis=False, verbose=0, saveimg=True,
+    )
+    outdir = reg(xray_path, tmp_path / "results")
+    assert (outdir / "parameters.npz").exists()
+    assert (outdir / "parameters.json").exists()
+    assert (outdir / "trajectory.csv").exists()
+    assert (outdir / "gt.png").exists()
+    data = np.load(outdir / "parameters.npz")
+    assert data["init_pose"].shape == (1, 4, 4)
+    assert data["final_pose"].shape == (1, 4, 4)
+    import json
+
+    meta = json.loads((outdir / "parameters.json").read_text())
+    assert meta["drr"]["renderer"] == "trilinear"
+    assert meta["optimization"]["scales"] == ["4"]
+    assert meta["type"] == "fixed"
+
+
+def test_registrar_restart_uses_saved_pose(phantom, gt_xray, tmp_path):
+    xray_path, gt_pose = gt_xray
+    reg = RegistrarRestart(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        init_pose=gt_pose,
+        linearize=False, scales="4", n_itrs="3",
+        reverse_x_axis=False, verbose=0,
+    )
+    _, _, _, init_pose, _, _ = reg.run(xray_path, beta=1.0)
+    np.testing.assert_allclose(np.asarray(init_pose.matrix), np.asarray(gt_pose.matrix))

@@ -40,14 +40,25 @@ def _window_mean(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return s / (p * p)
 
 
-def local_ncc(x: jnp.ndarray, y: jnp.ndarray, patch_size: int, eps: float = 1e-10) -> jnp.ndarray:
-    """Patchwise (local) NCC averaged over all valid patch centers -> (B,)."""
+def local_ncc(x: jnp.ndarray, y: jnp.ndarray, patch_size: int, eps: float = 1e-6) -> jnp.ndarray:
+    """Patchwise (local) NCC averaged over all valid patch centers -> (B,).
+
+    Numerics: the one-pass covariance ``E[xy] - E[x]E[y]`` cancels
+    catastrophically in float32 when patch means dominate, which can push
+    near-constant patches far outside [-1, 1] and corrupt the similarity
+    landscape. Globally centering both images first keeps the means near
+    zero, the variance floor keeps flat patches finite, and the final clamp
+    bounds the metric (flat regions carry no gradient anyway).
+    """
     p = patch_size
+    x = x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    y = y - jnp.mean(y, axis=(1, 2, 3), keepdims=True)
     mx, my = _window_mean(x, p), _window_mean(y, p)
     cov = _window_mean(x * y, p) - mx * my
-    vx = _window_mean(x * x, p) - mx * mx
-    vy = _window_mean(y * y, p) - my * my
-    n = cov / jnp.sqrt(jnp.clip(vx, eps) * jnp.clip(vy, eps))
+    vx = jnp.maximum(_window_mean(x * x, p) - mx * mx, 0.0)
+    vy = jnp.maximum(_window_mean(y * y, p) - my * my, 0.0)
+    n = cov / jnp.sqrt((vx + eps) * (vy + eps))
+    n = jnp.clip(n, -1.0, 1.0)
     return jnp.mean(n, axis=(1, 2, 3))
 
 

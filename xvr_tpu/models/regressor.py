@@ -53,3 +53,28 @@ def init_pose_regressor(
     width = height if width is None else width
     dummy = jnp.zeros((1, 1, height, width), dtype=jnp.float32)
     return model.init(key, dummy)
+
+
+def load_model(ckptpath, meta: bool = False):
+    """Rebuild a PoseRegressor exactly from a self-describing checkpoint.
+
+    Semantics of /root/reference/src/xvr/model/network.py:57-77:
+    the checkpoint's embedded config fully determines the architecture.
+    """
+    from ..train.checkpoint import latest_checkpoint, load_checkpoint, restore_into
+
+    path = latest_checkpoint(ckptpath) or ckptpath
+    ckpt = load_checkpoint(path)
+    config = ckpt["config"]
+    model = PoseRegressor(
+        model_name=config["model_name"],
+        parameterization=config["parameterization"],
+        convention=config.get("convention"),
+        norm_layer=config.get("norm_layer", "groupnorm"),
+        unit_conversion_factor=float(config.get("unit_conversion_factor", 1.0)),
+    )
+    template = init_pose_regressor(model, jax.random.PRNGKey(0), int(config["height"]))
+    params = restore_into(template, ckpt["model_state_dict"])
+    if meta:
+        return model, params, config, ckpt.get("date")
+    return model, params, config

@@ -1,0 +1,448 @@
+"""The test-time optimization engine for 2D/3D registration.
+
+TPU-first re-design of /root/reference/src/xvr/registrar/base.py:20-422. The
+reference runs a Python loop of 500 CUDA iterations per pyramid stage; here an
+entire stage — Adam ascent on (rotation, translation) against the image
+similarity, ReduceLROnPlateau, plateau-counted early exit, and trajectory
+recording — is ONE jitted ``lax.while_loop``, compiled once per pyramid scale
+(scales are known up front, so executables are reused across X-rays).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import RigidTransform, convert
+from ..io.volumes import read
+from ..metrics.ncc import gradient_ncc, multiscale_ncc
+from ..render.projector import Projector
+from ..utils.transforms import make_xray_transforms
+from .registration import Registration
+
+# Placeholder intrinsics used before a real DICOM is parsed (base.py:93-109)
+PLACEHOLDER = dict(height=1436, width=1436, sdd=1020.0, delx=0.194, dely=0.194)
+
+
+@dataclass
+class StageResult:
+    rot: np.ndarray
+    xyz: np.ndarray
+    n_done: int
+    params: np.ndarray  # (n_done, 6) euler ZXY + xyz after each step
+    nccs: np.ndarray  # (n_done,) pre-step similarity
+    lrs: np.ndarray  # (n_done, 2) effective (lr_rot, lr_xyz)
+    runtime: float
+
+
+def _parse_scales(scales: list[str] | str, crop: int, height: int) -> list[float]:
+    """Per-stage absolute coarsening factors from full resolution.
+
+    The reference chains relative detector rescales (base.py:402-407); the
+    equivalent absolute factor for stage ``x`` is ``x * height / (height +
+    crop)`` — i.e. a stage renders at ``(height + crop) / x`` pixels.
+    """
+    if isinstance(scales, str):
+        scales = scales.split(",")
+    return [float(x) * height / (height + crop) for x in scales]
+
+
+class RegistrarBase:
+    """Shared machinery for all initial-pose strategies (base.py:20)."""
+
+    def __init__(
+        self,
+        volume,
+        mask=None,
+        orientation: str | None = "AP",
+        labels=None,
+        crop: int = 0,
+        subtract_background: bool = False,
+        linearize: bool = False,
+        equalize: bool = False,
+        reducefn="max",
+        scales: str = "8",
+        n_itrs: str = "500",
+        reverse_x_axis: bool = False,
+        renderer: str = "trilinear",
+        parameterization: str = "euler_angles",
+        convention: str | None = "ZXY",
+        voxel_shift: float = 0.0,
+        lr_rot: float = 1e-2,
+        lr_xyz: float = 1e0,
+        patience: int = 10,
+        threshold: float = 1e-4,
+        max_n_plateaus: int = 3,
+        init_only: bool = False,
+        saveimg: bool = False,
+        verbose: int = 1,
+        read_kwargs: dict | None = None,
+        drr_kwargs: dict | None = None,
+        save_kwargs: dict | None = None,
+    ):
+        self.volume = volume
+        self.mask = mask
+        self.orientation = orientation
+        self.labels = labels
+        self.reverse_x_axis = reverse_x_axis
+        self.renderer = renderer
+        self.read_kwargs = read_kwargs or {}
+        self.drr_kwargs = dict(drr_kwargs or {})
+        self.drr_kwargs["voxel_shift"] = voxel_shift
+
+        self.crop = crop
+        self.subtract_background = subtract_background
+        self.linearize = linearize
+        self.equalize = equalize
+        self.reducefn = reducefn
+
+        self.parameterization = parameterization
+        self.convention = convention
+
+        self.scales = scales.split(",") if isinstance(scales, str) else list(scales)
+        self.n_itrs = [int(n) for n in (n_itrs.split(",") if isinstance(n_itrs, str) else n_itrs)]
+        assert len(self.scales) == len(self.n_itrs), "scales and n_itrs must align"
+
+        self.lr_rot = lr_rot
+        self.lr_xyz = lr_xyz
+        self.patience = patience
+        self.threshold = threshold
+        self.max_n_plateaus = max_n_plateaus
+
+        self.init_only = init_only
+        self.saveimg = saveimg
+        self.verbose = verbose
+        self.save_kwargs = save_kwargs or {}
+
+        vol = read(volume, mask, labels=labels, orientation=orientation, **self.read_kwargs)
+        self.projector = Projector.from_volume(
+            vol,
+            reverse_x_axis=reverse_x_axis,
+            renderer=renderer,
+            labels=None,  # registration renders the plain DRR
+            voxel_shift=self.drr_kwargs.get("voxel_shift", 0.0),
+            **PLACEHOLDER,
+        )
+        self._stage_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def initialize_pose(self, i2d):
+        """-> (gt, sdd, delx, dely, x0, y0, pf_to_af, init_pose)."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _make_stage(self, projector: Projector, n_itr: int, mncc_patch_size, gncc_patch_size, sigma, beta):
+        """Compile one pyramid stage as a single on-device while_loop."""
+        H, W = projector.detector.height, projector.detector.width
+        transform = make_xray_transforms(H, W, use_equalize=self.equalize)
+        parameterization = self.parameterization
+        convention = self.convention
+        patience = self.patience
+        threshold = self.threshold
+        max_n_plateaus = self.max_n_plateaus
+        b1, b2, eps = 0.9, 0.999, 1e-8
+
+        def imagesim(x, y):
+            s = beta * multiscale_ncc(x, y, (None, mncc_patch_size), (0.5, 0.5))
+            if beta < 1.0:
+                s = s + (1.0 - beta) * gradient_ncc(x, y, gncc_patch_size, sigma)
+            return s[0]
+
+        def loss_fn(rot, xyz, gt, density):
+            pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
+            img = projector(pose, density=density)
+            return imagesim(gt, transform(img))
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+        @jax.jit
+        def stage(rot, xyz, gt, density, lr_rot, lr_xyz):
+            # Adam moments
+            m_r = jnp.zeros_like(rot); v_r = jnp.zeros_like(rot)
+            m_x = jnp.zeros_like(xyz); v_x = jnp.zeros_like(xyz)
+            traj = jnp.zeros((n_itr, 6), rot.dtype)
+            nccs = jnp.zeros((n_itr,), rot.dtype)
+            lrs = jnp.zeros((n_itr, 2), rot.dtype)
+
+            # plateau state machine (torch ReduceLROnPlateau, mode=max,
+            # factor=0.1, rel threshold + the reference's lr-drop counter
+            # initialized at +inf so the first step counts one plateau,
+            # base.py:238,270-277)
+            state = dict(
+                itr=jnp.asarray(0),
+                rot=rot, xyz=xyz,
+                m_r=m_r, v_r=v_r, m_x=m_x, v_x=v_x,
+                lr_scale=jnp.asarray(1.0, rot.dtype),
+                best=jnp.asarray(-jnp.inf, rot.dtype),
+                num_bad=jnp.asarray(0),
+                n_plateaus=jnp.asarray(0),
+                current_lr=jnp.asarray(jnp.inf, rot.dtype),
+                traj=traj, nccs=nccs, lrs=lrs,
+            )
+
+            def cond(s):
+                return (s["itr"] < n_itr) & (s["n_plateaus"] < max_n_plateaus)
+
+            def body(s):
+                i = s["itr"]
+                t = (i + 1).astype(rot.dtype)
+                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density)
+
+                def adam(p, m, v, g, lr):
+                    m = b1 * m + (1 - b1) * g
+                    v = b2 * v + (1 - b2) * g * g
+                    mhat = m / (1 - b1**t)
+                    vhat = v / (1 - b2**t)
+                    return p + lr * mhat / (jnp.sqrt(vhat) + eps), m, v  # ascent
+
+                lr_r = lr_rot * s["lr_scale"]
+                lr_x = lr_xyz * s["lr_scale"]
+                rot2, m_r2, v_r2 = adam(s["rot"], s["m_r"], s["v_r"], g_r, lr_r)
+                xyz2, m_x2, v_x2 = adam(s["xyz"], s["m_x"], s["v_x"], g_x, lr_x)
+
+                # scheduler.step(loss)
+                improved = loss > s["best"] * (1.0 + threshold)
+                best = jnp.where(improved, loss, s["best"])
+                num_bad = jnp.where(improved, 0, s["num_bad"] + 1)
+                reduce = num_bad > patience
+                lr_scale = jnp.where(reduce, s["lr_scale"] * 0.1, s["lr_scale"])
+                num_bad = jnp.where(reduce, 0, num_bad)
+
+                # plateau counting on observed lr drops (incl. the initial one)
+                lr_now = lr_rot * lr_scale
+                dropped = lr_now < s["current_lr"]
+                current_lr = jnp.where(dropped, lr_now, s["current_lr"])
+                n_plateaus = s["n_plateaus"] + dropped.astype(s["n_plateaus"].dtype)
+
+                # record (pose after the step, similarity before it)
+                pose2 = convert(rot2, xyz2, parameterization=parameterization, convention=convention)
+                e_rot, e_xyz = pose2.convert("euler_angles", "ZXY")
+                row = jnp.concatenate([e_rot.reshape(-1)[:3], e_xyz.reshape(-1)[:3]])
+                return dict(
+                    itr=i + 1, rot=rot2, xyz=xyz2,
+                    m_r=m_r2, v_r=v_r2, m_x=m_x2, v_x=v_x2,
+                    lr_scale=lr_scale, best=best, num_bad=num_bad,
+                    n_plateaus=n_plateaus, current_lr=current_lr,
+                    traj=s["traj"].at[i].set(row),
+                    nccs=s["nccs"].at[i].set(loss),
+                    lrs=s["lrs"].at[i].set(jnp.stack([lr_r, lr_x])),
+                )
+
+            out = jax.lax.while_loop(cond, body, state)
+            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density)
+            return (
+                out["rot"], out["xyz"], out["itr"],
+                out["traj"], out["nccs"], out["lrs"], final_ncc,
+            )
+
+        return stage, transform
+
+    # ------------------------------------------------------------------
+    def run_test_time_optimization(self, gt, init_pose, scales, imagesim_cfg):
+        """Multiscale refinement (base.py:198-292 semantics).
+
+        -> (final_pose, params_rows, nccs, times, alphas)
+        """
+        rot, xyz = init_pose.convert(self.parameterization, self.convention)
+        gt = jnp.asarray(gt)
+
+        e_rot, e_xyz = init_pose.convert("euler_angles", "ZXY")
+        params_rows = [np.concatenate([np.asarray(e_rot).reshape(-1)[:3], np.asarray(e_xyz).reshape(-1)[:3]]).tolist()]
+        nccs: list[float] = []
+        times = [0.0]
+        alphas = [[self.lr_rot, self.lr_xyz]]
+
+        step_size_scalar = 1.0
+        final_ncc = None
+        for stage_idx, (scale, n_itr) in enumerate(zip(scales, self.n_itrs), start=1):
+            proj = self.projector.rescale_detector(scale)
+            key = (proj.detector, n_itr, imagesim_cfg)
+            if key not in self._stage_cache:
+                self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
+            stage_fn, transform = self._stage_cache[key]
+
+            gt_stage = transform(gt)
+            step_size_scalar *= 2 ** (stage_idx - 1)
+            lr_rot = self.lr_rot / step_size_scalar
+            lr_xyz = self.lr_xyz / step_size_scalar
+
+            t0 = time.perf_counter()
+            rot, xyz, n_done, traj, stage_nccs, stage_lrs, final_ncc = jax.device_get(
+                stage_fn(rot, xyz, gt_stage, proj.density, lr_rot, lr_xyz)
+            )
+            t1 = time.perf_counter()
+            n_done = int(n_done)
+            rot, xyz = jnp.asarray(rot), jnp.asarray(xyz)
+
+            per_itr = (t1 - t0) / max(n_done, 1)
+            params_rows.extend(np.asarray(traj[:n_done]).tolist())
+            nccs.extend(np.asarray(stage_nccs[:n_done]).tolist())
+            times.extend([per_itr] * n_done)
+            alphas.extend(np.asarray(stage_lrs[:n_done]).tolist())
+            if self.verbose > 0:
+                print(
+                    f"Stage {stage_idx}: {n_done}/{n_itr} itrs @ {proj.detector.height}x"
+                    f"{proj.detector.width}, ncc={float(final_ncc):.4f}, "
+                    f"{per_itr * 1e3:.1f} ms/itr",
+                    flush=True,
+                )
+
+        nccs.append(float(final_ncc))
+        final_pose = convert(
+            rot, xyz, parameterization=self.parameterization, convention=self.convention
+        )
+        return final_pose, params_rows, nccs, times, alphas
+
+    # ------------------------------------------------------------------
+    def run(self, i2d, mncc_patch_size=9, gncc_patch_size=11, sigma=0.0, beta=0.5):
+        gt, sdd, delx, dely, x0, y0, pf_to_af, init_pose = self.initialize_pose(i2d)
+        H, W = gt.shape[-2:]
+        intrinsics = dict(
+            sdd=sdd, height=H, width=W, delx=delx, dely=dely, x0=-x0, y0=y0
+        )  # NOTE the x0 sign flip, base.py:147
+
+        scales = _parse_scales(self.scales, self.crop, H)
+        self.projector = self.projector.set_intrinsics(**intrinsics)
+
+        if self.init_only:
+            proj = self.projector.rescale_detector(scales[0])
+            return gt, intrinsics, proj, init_pose, None, dict(pf_to_af=pf_to_af)
+
+        t0 = time.perf_counter()
+        final_pose, params, nccs, times, alphas = self.run_test_time_optimization(
+            gt, init_pose, scales, (mncc_patch_size, gncc_patch_size, sigma, beta)
+        )
+        runtime = time.perf_counter() - t0
+        trajectory = dict(
+            params=np.asarray(params, dtype=np.float64),
+            ncc=np.asarray(nccs, dtype=np.float64),
+            times=np.asarray(times, dtype=np.float64),
+            lrs=np.asarray(alphas, dtype=np.float64),
+        )
+        return (
+            gt, intrinsics, self.projector, init_pose, final_pose,
+            dict(pf_to_af=pf_to_af, runtime=runtime, trajectory=trajectory),
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        i2d,
+        outpath,
+        mncc_patch_size: int = 9,
+        gncc_patch_size: int = 11,
+        sigma: float = 0.0,
+        beta: float = 0.5,
+    ):
+        i2d = Path(i2d)
+        savepath = Path(outpath) / i2d.stem
+        savepath.mkdir(parents=True, exist_ok=True)
+
+        gt, intrinsics, proj, init_pose, final_pose, kwargs = self.run(
+            i2d, mncc_patch_size, gncc_patch_size, sigma, beta
+        )
+
+        init_img = final_img = None
+        if self.saveimg:
+            scaled = proj.rescale_detector(max(intrinsics["height"] // 256, 1))
+            init_img = np.asarray(scaled(init_pose))
+            if final_pose is not None:
+                final_img = np.asarray(scaled(final_pose))
+
+        self.save(savepath, gt, init_img, final_img, i2d, intrinsics, init_pose, final_pose, kwargs)
+        return savepath
+
+    # ------------------------------------------------------------------
+    def save(self, savepath, gt, init_img, final_img, i2d, intrinsics, init_pose, final_pose, kwargs):
+        """Persist the self-describing result bundle (base.py:329-399):
+        ``parameters.npz`` (poses + trajectory), ``parameters.json`` (full
+        config), ``trajectory.csv``, optional PNG renders."""
+        savepath = Path(savepath)
+        mask = str(Path(self.mask).resolve()) if self.mask is not None else None
+        meta = {
+            "drr": {
+                "volume": str(Path(self.volume).resolve()),
+                "mask": mask,
+                "labels": self.labels,
+                "orientation": self.orientation,
+                **{k: float(v) if isinstance(v, (int, float)) else v for k, v in intrinsics.items()},
+                "reverse_x_axis": self.reverse_x_axis,
+                "renderer": self.renderer,
+                "read_kwargs": self.read_kwargs,
+                "drr_kwargs": self.drr_kwargs,
+            },
+            "xray": {
+                "filename": str(Path(i2d).resolve()),
+                "crop": self.crop,
+                "subtract_background": self.subtract_background,
+                "linearize": self.linearize,
+                "reducefn": self.reducefn if not callable(self.reducefn) else "custom",
+            },
+            "optimization": {
+                "equalize": self.equalize,
+                "init_only": self.init_only,
+                "scales": self.scales,
+                "n_itrs": self.n_itrs,
+                "parameterization": self.parameterization,
+                "convention": self.convention,
+                "lr_rot": self.lr_rot,
+                "lr_xyz": self.lr_xyz,
+                "patience": self.patience,
+                "max_n_plateaus": self.max_n_plateaus,
+            },
+            **{k: v for k, v in self.save_kwargs.items()},
+            "pf_to_af": bool(kwargs.get("pf_to_af", False)),
+        }
+        if "runtime" in kwargs:
+            meta["runtime"] = float(kwargs["runtime"])
+
+        arrays = {"init_pose": np.asarray(init_pose.matrix)}
+        if final_pose is not None:
+            arrays["final_pose"] = np.asarray(final_pose.matrix)
+        traj = kwargs.get("trajectory")
+        if traj is not None:
+            arrays.update({f"trajectory_{k}": v for k, v in traj.items()})
+            self._write_csv(savepath / "trajectory.csv", traj)
+        np.savez(savepath / "parameters.npz", **arrays)
+        (savepath / "parameters.json").write_text(json.dumps(meta, indent=2, default=str))
+
+        if self.saveimg:
+            self._save_png(savepath / "gt.png", np.asarray(gt))
+            if init_img is not None:
+                self._save_png(savepath / "init_img.png", init_img)
+            if final_img is not None:
+                self._save_png(savepath / "final_img.png", final_img)
+
+    @staticmethod
+    def _write_csv(path, traj):
+        cols = ["r1", "r2", "r3", "tx", "ty", "tz", "ncc", "times", "lr_rot", "lr_xyz"]
+        params = traj["params"]
+        ncc = traj["ncc"][: len(params)]
+        times = traj["times"][: len(params)]
+        lrs = traj["lrs"][: len(params)]
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for i in range(len(params)):
+                row = list(params[i]) + [ncc[i] if i < len(ncc) else np.nan, times[i]] + list(lrs[i])
+                f.write(",".join(f"{v:.8g}" for v in row) + "\n")
+
+    @staticmethod
+    def _save_png(path, img):
+        img = np.asarray(img, dtype=np.float64).squeeze()
+        if img.ndim == 3:
+            img = img[0]
+        lo, hi = img.min(), img.max()
+        img8 = ((img - lo) / (hi - lo + 1e-12) * 255).astype(np.uint8)
+        try:
+            import imageio.v3 as iio
+
+            iio.imwrite(path, img8)
+        except ImportError:  # pragma: no cover
+            np.save(str(path) + ".npy", img8)
