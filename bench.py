@@ -1,0 +1,112 @@
+"""Benchmark: 256x256 DRR rendering throughput on one TPU chip.
+
+Measures the BASELINE.json north-star configs: (1) trilinear renders at fixed
+SE(3) poses and (2) Siddon renders with batched random-pose sampling, both at
+256^2 detector resolution against a 256^3 CT volume. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "detail"} where value is the
+trilinear DRRs/sec/chip (the framework's default renderer) and vs_baseline is
+value / 5000 (the target from BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xvr_tpu.geometry import Detector
+    from xvr_tpu.render.pallas import raymarch_trilinear_pallas
+    from xvr_tpu.render.volume import Volume, transform_hu_to_density
+    from xvr_tpu.render.xla import raymarch_siddon
+    from xvr_tpu.train.sampler import get_random_pose
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    N = 256  # volume resolution
+    H = 256  # detector resolution
+    B = 8  # poses per call
+    S = 256  # trilinear samples per ray
+
+    rng = np.random.default_rng(0)
+    hu = rng.uniform(-1000.0, 1500.0, size=(N, N, N)).astype(np.float32)
+    spacing = 1.5
+    aff = np.eye(4, dtype=np.float32) * spacing
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(N - 1) / 2.0 * spacing
+    vol = Volume(data=jnp.asarray(hu), affine=jnp.asarray(aff))
+    density = transform_hu_to_density(vol.data, 2.0)
+    affinv = vol.affine_inverse
+    det = Detector(sdd=1020.0, height=H, width=H, delx=2.0, dely=2.0)
+
+    ranges = dict(
+        alphamin=-30.0, alphamax=30.0, betamin=-15.0, betamax=15.0,
+        gammamin=-15.0, gammamax=15.0, txmin=-30.0, txmax=30.0,
+        tymin=500.0, tymax=800.0, tzmin=-30.0, tzmax=30.0,
+    )
+
+    def render_trilinear(density, key):
+        # Pallas fast path (slab-marching kernel, volume resident in VMEM);
+        # ray generation happens host-side of the kernel call
+        pose = get_random_pose(key, batch_size=B, **ranges)
+        src, tgt = det.rays(pose)
+        return raymarch_trilinear_pallas(density, affinv, src, tgt, window=32)
+
+    @jax.jit
+    def render_siddon(density, key):
+        pose = get_random_pose(key, batch_size=B, **ranges)
+        src, tgt = det.rays(pose)
+        return raymarch_siddon(density, affinv, src, tgt)
+
+    def bench(fn, name, n_iter=10):
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        fn(density, key).block_until_ready()
+        log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
+        # timed
+        keys = jax.random.split(jax.random.PRNGKey(1), n_iter)
+        t0 = time.perf_counter()
+        for k in keys:
+            out = fn(density, k)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        drrs_per_sec = B * n_iter / dt
+        log(f"{name}: {drrs_per_sec:.1f} DRRs/s ({dt / n_iter * 1e3:.1f} ms / {B}-batch)")
+        return drrs_per_sec
+
+    tri = bench(render_trilinear, "trilinear 256^2")
+    sid = bench(render_siddon, "siddon 256^2", n_iter=4)
+
+    target = 5000.0
+    print(
+        json.dumps(
+            {
+                "metric": "256^2 DRRs/sec/chip (trilinear Pallas kernel; 256^3 CT, batch 8)",
+                "value": round(tri, 1),
+                "unit": "DRRs/s",
+                "vs_baseline": round(tri / target, 4),
+                "detail": {
+                    "siddon_drrs_per_sec": round(sid, 1),
+                    "target": target,
+                    "volume": [N, N, N],
+                    "detector": [H, H],
+                    "n_samples": S,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""`xvr dcm2nii` — convert a DICOM series/DICOMDIR to NIfTI
+(/root/reference/src/xvr/cli/commands/dcm2nii.py:6-17)."""
+
+from __future__ import annotations
+
+import click
+
+from ..formatter import CategorizedCommand
+
+
+@click.command(cls=CategorizedCommand)
+@click.argument("inpath", type=click.Path(exists=True))
+@click.argument("outpath", type=click.Path())
+def dcm2nii(inpath, outpath):
+    """Convert a DICOMDIR to a NIfTI file."""
+    from ...io.dcm2nii import dicom_series_to_nifti
+
+    click.echo(f"Converting {inpath} to {outpath}")
+    dicom_series_to_nifti(inpath, outpath)

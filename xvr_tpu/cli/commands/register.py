@@ -1,0 +1,201 @@
+"""`xvr register {model,dicom,fixed,restart}` — iterative 2D/3D registration.
+
+Option surface of /root/reference/src/xvr/cli/commands/register.py:7-566:
+four subcommands share a base set of X-ray/renderer/optimizer options; X-ray
+arguments may be files or directories globbed by ``--pattern``.
+"""
+
+from __future__ import annotations
+
+import click
+
+from ...config.registrar import args
+from ..formatter import CategorizedCommand, CategorizedOption, categorized_option
+
+
+class BaseRegistrar(CategorizedCommand):
+    default_params = [
+        click.Argument(["xray"], nargs=-1, required=True, type=click.Path(exists=True)),
+        CategorizedOption(["-v", "--volume"], required=True, type=click.Path(exists=True),
+                          help="Input CT volume (3D image)", category="Required"),
+        CategorizedOption(["-m", "--mask"], type=click.Path(exists=True),
+                          help="Labelmap for the CT volume", category="Renderer"),
+        CategorizedOption(["-o", "--outpath"], required=True, type=click.Path(),
+                          help="Directory for saving registration results", category="Required"),
+        CategorizedOption(["--crop"], default=args.crop, type=int,
+                          help="Center crop the X-ray image", category="Preprocessing"),
+        CategorizedOption(["--subtract_background"], default=args.subtract_background, is_flag=True,
+                          help="Subtract mode X-ray image intensity", category="Preprocessing"),
+        CategorizedOption(["--linearize"], default=args.linearize, is_flag=True,
+                          help="Convert X-ray from exponential to linear form", category="Preprocessing"),
+        CategorizedOption(["--equalize"], default=args.equalize, is_flag=True,
+                          help="Apply histogram equalization to X-rays/DRRs during optimization",
+                          category="Preprocessing"),
+        CategorizedOption(["--reducefn"], default=args.reducefn,
+                          help="If DICOM is multiframe, method to extract a single 2D image",
+                          category="Preprocessing"),
+        CategorizedOption(["--labels"], type=str,
+                          help="Labels in mask to exclusively render (comma-separated)",
+                          category="Renderer"),
+        CategorizedOption(["--scales"], default=args.scales, type=str,
+                          help="Scales of downsampling for multiscale registration (comma-separated)",
+                          category="Optimizer"),
+        CategorizedOption(["--n_itrs"], default=args.n_itrs, type=str,
+                          help="Number of iterations to run at each scale (comma-separated)",
+                          category="Optimizer"),
+        CategorizedOption(["--reverse_x_axis"], default=args.reverse_x_axis, is_flag=True,
+                          help="Enable to obey radiologic convention (e.g., heart on right)",
+                          category="Renderer"),
+        CategorizedOption(["--renderer"], default=args.renderer,
+                          type=click.Choice(["siddon", "trilinear"]),
+                          help="Renderer equation", category="Renderer"),
+        CategorizedOption(["--parameterization"], default=args.parameterization, type=str,
+                          help="Parameterization of SO(3) for regression", category="Optimizer"),
+        CategorizedOption(["--convention"], default=args.convention, type=str,
+                          help="If parameterization is Euler angles, specify order", category="Optimizer"),
+        CategorizedOption(["--voxel_shift"], default=args.voxel_shift, type=float,
+                          help="Position of voxel (top left corner or center)", category="Renderer"),
+        CategorizedOption(["--lr_rot"], default=args.lr_rot, type=float,
+                          help="Initial step size for rotational parameters", category="Optimizer"),
+        CategorizedOption(["--lr_xyz"], default=args.lr_xyz, type=float,
+                          help="Initial step size for translational parameters", category="Optimizer"),
+        CategorizedOption(["--patience"], default=args.patience, type=int,
+                          help="Number of itrs without improvement before decreasing the learning rate",
+                          category="Optimizer"),
+        CategorizedOption(["--threshold"], default=args.threshold, type=float,
+                          help="Threshold for measuring the new optimum", category="Optimizer"),
+        CategorizedOption(["--max_n_plateaus"], default=args.max_n_plateaus, type=int,
+                          help="Number of times loss can plateau before moving to next scale",
+                          category="Optimizer"),
+        CategorizedOption(["--init_only"], default=args.init_only, is_flag=True,
+                          help="Directly return the initial pose estimate (no iterative pose refinement)",
+                          category="Logging"),
+        CategorizedOption(["--saveimg"], default=args.saveimg, is_flag=True,
+                          help="Save ground truth X-ray and predicted DRRs", category="Logging"),
+        CategorizedOption(["--pattern"], default=args.pattern, type=str,
+                          help="Pattern rule for glob if XRAY is a directory", category="Preprocessing"),
+        CategorizedOption(["--verbose"], default=args.verbose, type=click.IntRange(0, 3),
+                          help="Verbosity level for logging", category="Logging"),
+    ]
+
+    def __init__(self, *a, **kw):
+        category_order = ["Required", "Model", "Renderer", "Preprocessing", "Optimizer", "Logging"]
+        super().__init__(category_order=category_order, *a, **kw)
+        self.params.extend(self.default_params.copy())
+
+
+_COMMON = (
+    "xray volume mask outpath crop subtract_background linearize equalize "
+    "reducefn labels scales n_itrs reverse_x_axis renderer parameterization "
+    "convention voxel_shift lr_rot lr_xyz patience threshold max_n_plateaus "
+    "init_only saveimg pattern verbose"
+).split()
+
+
+def _base_kwargs(kw):
+    return dict(
+        labels=kw["labels"], crop=kw["crop"],
+        subtract_background=kw["subtract_background"], linearize=kw["linearize"],
+        equalize=kw["equalize"], reducefn=kw["reducefn"], scales=kw["scales"],
+        n_itrs=kw["n_itrs"], reverse_x_axis=kw["reverse_x_axis"],
+        renderer=kw["renderer"], parameterization=kw["parameterization"],
+        convention=kw["convention"], voxel_shift=kw["voxel_shift"],
+        lr_rot=kw["lr_rot"], lr_xyz=kw["lr_xyz"], patience=kw["patience"],
+        threshold=kw["threshold"], max_n_plateaus=kw["max_n_plateaus"],
+        init_only=kw["init_only"], saveimg=kw["saveimg"], verbose=kw["verbose"],
+    )
+
+
+@click.command(cls=BaseRegistrar)
+@categorized_option("-c", "--ckptpath", required=True, type=click.Path(exists=True),
+                    help="Checkpoint of a pretrained pose regressor", category="Required")
+@categorized_option("--warp", type=click.Path(exists=True),
+                    help="ITK transform to warp input CT to a template reference frame")
+@categorized_option("--invert", default=False, is_flag=True,
+                    help="Whether to invert the warp or not")
+@categorized_option("--antipodal", default=False, is_flag=True,
+                    help="Initialize from antipode of predicted pose")
+def model(**kw):
+    """Initialize from a pose regression model."""
+    from ...registrar import RegistrarModel
+
+    registrar = RegistrarModel(
+        kw["volume"], kw["mask"], kw["ckptpath"],
+        warp=kw["warp"], invert=kw["invert"], antipodal=kw["antipodal"],
+        **_base_kwargs(kw),
+    )
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+
+
+@click.command(cls=BaseRegistrar)
+@categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
+                    help="Orientation of the CT volume", category="Required")
+def dicom(**kw):
+    """Initialize from the DICOM parameters of the X-ray."""
+    from ...registrar import RegistrarDicom
+
+    registrar = RegistrarDicom(
+        kw["volume"], kw["mask"], kw["orientation"], **_base_kwargs(kw)
+    )
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+
+
+@click.command(cls=BaseRegistrar)
+@categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
+                    help="Orientation of the CT volume", category="Required")
+@categorized_option("--rot", required=True, nargs=3, type=float,
+                    help="Initial rotational parameters", category="Required")
+@categorized_option("--xyz", required=True, nargs=3, type=float,
+                    help="Initial translational parameters", category="Required")
+def fixed(**kw):
+    """Initialize from a fixed pose."""
+    from ...registrar import RegistrarFixed
+
+    registrar = RegistrarFixed(
+        kw["volume"], kw["mask"], kw["orientation"],
+        list(kw["rot"]), list(kw["xyz"]), **_base_kwargs(kw)
+    )
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+
+
+@click.command(cls=BaseRegistrar)
+@categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
+                    help="Orientation of the CT volume", category="Required")
+@categorized_option("--ckpt", required=True, type=click.Path(exists=True),
+                    help="Saved parameters.npz from a previous registration run", category="Required")
+def restart(**kw):
+    """Initialize from a previous final pose estimate."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ...geometry import RigidTransform
+    from ...registrar import RegistrarRestart
+
+    data = np.load(kw["ckpt"])
+    pose = RigidTransform(jnp.asarray(data["final_pose"]))
+
+    registrar = RegistrarRestart(
+        kw["volume"], kw["mask"], kw["orientation"], pose, **_base_kwargs(kw)
+    )
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+
+
+def run(registrar, xray, pattern, verbose, outpath):
+    dcmfiles = parse_dcmfiles(xray, pattern)
+    for i2d in dcmfiles:
+        if verbose > 0:
+            print(f"\nRegistering {i2d} ....", flush=True)
+        registrar(i2d, outpath)
+
+
+def parse_dcmfiles(xray, pattern):
+    from pathlib import Path
+
+    dcmfiles = []
+    for xpath in xray:
+        xpath = Path(xpath)
+        if xpath.is_file():
+            dcmfiles.append(xpath)
+        else:
+            dcmfiles += sorted(xpath.glob(pattern))
+    return dcmfiles

@@ -24,6 +24,8 @@ import numpy as np
 TAGS = {
     (0x0002, 0x0010): "TransferSyntaxUID",
     (0x0008, 0x0060): "Modality",
+    (0x0018, 0x0050): "SliceThickness",
+    (0x0018, 0x0088): "SpacingBetweenSlices",
     (0x0018, 0x1110): "DistanceSourceToDetector",
     (0x0018, 0x1111): "DistanceSourceToPatient",
     (0x0018, 0x1164): "ImagerPixelSpacing",
@@ -31,6 +33,8 @@ TAGS = {
     (0x0018, 0x1511): "PositionerSecondaryAngle",
     (0x0018, 0x7026): "DetectorActiveOrigin",
     (0x0020, 0x0020): "PatientOrientation",
+    (0x0020, 0x0032): "ImagePositionPatient",
+    (0x0020, 0x0037): "ImageOrientationPatient",
     (0x0028, 0x0002): "SamplesPerPixel",
     (0x0028, 0x0004): "PhotometricInterpretation",
     (0x0028, 0x0008): "NumberOfFrames",
@@ -141,7 +145,9 @@ def _implicit_vr(name: str) -> bytes:
     if name in ("DistanceSourceToDetector", "DistanceSourceToPatient",
                 "ImagerPixelSpacing", "PixelSpacing", "DetectorActiveOrigin",
                 "PositionerPrimaryAngle", "PositionerSecondaryAngle",
-                "RescaleIntercept", "RescaleSlope"):
+                "RescaleIntercept", "RescaleSlope", "SliceThickness",
+                "SpacingBetweenSlices", "ImagePositionPatient",
+                "ImageOrientationPatient"):
         return b"DS"
     if name == "NumberOfFrames":
         return b"IS"

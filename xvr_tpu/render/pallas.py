@@ -1,0 +1,322 @@
+"""Pallas TPU kernel for trilinear DRR ray marching.
+
+Why not XLA gather: a 256^2 DRR against a 256^3 CT needs ~1e9 random volume
+reads; XLA lowers them to scalar gathers (~1.3e8/s on v5e -> ~1 DRR/s). This
+kernel restructures the render around what the VPU can do fast:
+
+* **Slab marching**: rays are integrated at their crossings with the volume
+  planes along the dominant ray axis ("march" axis). Samples then sit exactly
+  ON those planes, so interpolation is only bilinear in the two transverse
+  axes.
+* **Window-select** over the second ("window") axis: across an 8x128 detector
+  tile the window coordinate spans only a few voxels per slab, so the kernel
+  reads a small run of rows and folds the linear interpolation into a
+  triangle weight per row.
+* **Lane gather + pair packing** over the third ("lane") axis: the in-row
+  lookup uses the VPU's 128-wide dynamic gather (`take_along_axis`), and each
+  f32 word packs the (bf16) voxel pair (V[l], V[l+1]) so ONE gather yields
+  both neighbors of the lane-axis lerp.
+* The whole packed volume (<= ~67 MB for 256^3) lives in **VMEM** for the
+  entire render — zero HBM traffic in the hot loop.
+
+Geometry contract: the wrapper picks the march axis as the dominant mean ray
+direction and permutes the volume accordingly; rays deviating more than ~45
+degrees from the march axis (|d_march| < 0.5 |d|) or exceeding the static
+window are not representable — callers should fall back to the XLA renderer
+for such poses (see ``estimate_window_span``).
+
+Replaces the trilinear renderer of the reference's math core (selected by
+``--renderer trilinear``, /root/reference/src/xvr/config/trainer.py:9) as the
+TPU fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUB = 8
+
+
+def _pack_pairs(vol: jnp.ndarray) -> jnp.ndarray:
+    """(M, Wd, L) f32 -> (M * Wd * H, 128) f32 of packed bf16 pairs.
+
+    Lane l of half h holds (bf16(V[..., h*128+l]), bf16(V[..., h*128+l+1]))
+    packed into one f32 word, so a single gather returns both lerp neighbors.
+    """
+    M, Wd, L = vol.shape
+    H = -(-L // LANE)
+    pad = H * LANE - L
+    lo = vol
+    hi = jnp.concatenate([vol[..., 1:], vol[..., -1:]], axis=-1)
+    if pad:
+        lo = jnp.pad(lo, ((0, 0), (0, 0), (0, pad)))
+        hi = jnp.pad(hi, ((0, 0), (0, 0), (0, pad)))
+    lo16 = jax.lax.bitcast_convert_type(lo.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    hi16 = jax.lax.bitcast_convert_type(hi.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = jax.lax.bitcast_convert_type((hi16 << 16) | lo16, jnp.float32)
+    # (M, Wd, H, 128) -> rows (M*Wd*H, 128)
+    packed = packed.reshape(M, Wd, H, LANE)
+    return packed.reshape(M * Wd * H, LANE)
+
+
+def _unpack(g: jnp.ndarray):
+    u = pltpu.bitcast(g, jnp.uint32)
+    lo = pltpu.bitcast((u & jnp.uint32(0xFFFF)) << 16, jnp.float32)
+    hi = pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return lo, hi
+
+
+def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
+    """One (8, 128) detector tile: march all M slabs, accumulate the DRR."""
+    s0, s1, s2 = s0[0], s1[0], s2[0]
+    d0, d1, d2 = d0[0], d1[0], d2[0]
+    ws = ws[0]
+
+    safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
+    inv_d0 = 1.0 / safe_d0
+    half = 0.5 * jnp.abs(inv_d0)  # half slab thickness in alpha units
+
+    # Per-ray AABB entry/exit (midpoint-rule trimming: without it, entry and
+    # exit planes get a full slab weight and the integral biases ~1/M high/low)
+    a_in = jnp.zeros_like(s0)
+    a_out = jnp.ones_like(s0)
+    for s_i, d_i, n_i in ((s0, d0, M), (s1, d1, Wd), (s2, d2, L)):
+        safe = jnp.where(jnp.abs(d_i) < 1e-9, 1e-9, d_i)
+        t1 = (-0.5 - s_i) / safe
+        t2 = (n_i - 0.5 - s_i) / safe
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        parallel = jnp.abs(d_i) < 1e-9
+        inside = (s_i > -0.5) & (s_i < n_i - 0.5)
+        lo_t = jnp.where(parallel, jnp.where(inside, -3e38, 3e38), lo_t)
+        hi_t = jnp.where(parallel, jnp.where(inside, 3e38, -3e38), hi_t)
+        a_in = jnp.maximum(a_in, lo_t)
+        a_out = jnp.minimum(a_out, hi_t)
+    a_out = jnp.maximum(a_out, a_in)
+
+    def slab(m, acc):
+        mf = m.astype(jnp.float32)
+        alpha = (mf - s0) * inv_d0
+        p1 = s1 + alpha * d1  # window coord
+        p2 = s2 + alpha * d2  # lane coord
+        # effective alpha span of this slab clipped to the in-volume segment
+        w_alpha = jnp.maximum(
+            jnp.minimum(alpha + half, a_out) - jnp.maximum(alpha - half, a_in), 0.0
+        ) * jnp.abs(safe_d0)  # normalized so a full slab weighs 1.0
+        valid = w_alpha > 0.0
+        valid &= (p1 > -1.0) & (p1 < Wd)
+        valid &= (p2 >= 0.0) & (p2 <= L - 1.0)
+        valid &= ws > 0.0  # detector-padding rays carry zero weight scale
+
+        # window base for this tile: floor(min valid p1)
+        p1_for_min = jnp.where(valid, p1, 3.4e38)
+        z0 = jnp.floor(jnp.min(p1_for_min)).astype(jnp.int32)
+        z0 = jnp.clip(z0, 0, max(Wd - window, 0))
+
+        idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
+        fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
+        in_lo = idx < LANE
+        idx_lo = jnp.where(in_lo, idx, 0)
+        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
+
+        def window_row(d, acc):
+            zr = z0 + d
+            # triangle weight folds the window-axis lerp
+            wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
+            base = (m * Wd + jnp.clip(zr, 0, Wd - 1)) * H
+            row0 = jnp.broadcast_to(table[pl.ds(base, 1), :], (SUB, LANE))
+            g = jnp.take_along_axis(row0, idx_lo, axis=1)
+            if H > 1:
+                row1 = jnp.broadcast_to(table[pl.ds(base + 1, 1), :], (SUB, LANE))
+                g1 = jnp.take_along_axis(row1, idx_hi, axis=1)
+                g = jnp.where(in_lo, g, g1)
+            lo, hi = _unpack(g)
+            v = lo + fx * (hi - lo)
+            w = jnp.where(valid & (zr >= 0) & (zr < Wd), wz * w_alpha, 0.0)
+            return acc + w * v
+
+        for d in range(window):
+            acc = window_row(d, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, M, slab, jnp.zeros((SUB, LANE), jnp.float32))
+    out[0] = acc * ws
+
+
+def _pad_to(x, m, axis):
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, pad)
+    return jnp.pad(x, pads)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret"),
+)
+def _render(
+    packed_table,
+    s_vox,
+    d_vox,
+    wscale,
+    *,
+    det_shape,
+    vol_shape,
+    window,
+    perm,
+    interpret,
+):
+    Hd, Wdet = det_shape
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+
+    Hp = -(-Hd // SUB) * SUB
+    Wp = -(-Wdet // LANE) * LANE
+
+    def prep(x):
+        x = x.reshape(x.shape[0], Hd, Wdet)
+        x = _pad_to(_pad_to(x, SUB, 1), LANE, 2)
+        return x
+
+    B = s_vox.shape[0]
+    s0 = prep(s_vox[..., 0]); s1 = prep(s_vox[..., 1]); s2 = prep(s_vox[..., 2])
+    d0 = prep(d_vox[..., 0]); d1 = prep(d_vox[..., 1]); d2 = prep(d_vox[..., 2])
+    ws = prep(wscale)
+
+    grid = (B, Hp // SUB, Wp // LANE)
+    ray_spec = pl.BlockSpec(
+        (1, SUB, LANE), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(
+        packed_table.shape, lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_kernel, M=M, Wd=Wd, H=H, L=L, window=window),
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tab_spec],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(s0, s1, s2, d0, d1, d2, ws, packed_table)
+    return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
+
+
+def _choose_permutation(d_mean: np.ndarray) -> tuple[int, int, int]:
+    """March axis = dominant mean direction; lane axis = widest transverse."""
+    march = int(np.argmax(np.abs(d_mean)))
+    rest = [a for a in range(3) if a != march]
+    # lane axis: transverse axis with larger direction spread handled equally
+    # well either way; keep deterministic order (larger index -> lane) so the
+    # x-axis of the volume tends to land on lanes for AP poses.
+    win, lane = rest[0], rest[1]
+    return march, win, lane
+
+
+def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:
+    """Estimated per-tile window-coordinate span (voxels) — used to pick the
+    static window size or fall back to the XLA renderer."""
+    Hd, Wdet = det_shape
+    march, win, lane = perm
+    d = np.asarray(d_vox).reshape(-1, Hd, Wdet, 3)
+    # window coord drift per detector pixel, at ray midpoints
+    dwin = d[..., win] / np.maximum(np.abs(d[..., march]), 1e-6)
+    # span across a tile ~ |d(dwin)/drow| * 8 + |d(dwin)/dcol| * 128, bounded
+    # by finite differences across the detector
+    row_d = np.abs(np.diff(dwin, axis=1)).max(initial=0.0)
+    col_d = np.abs(np.diff(dwin, axis=2)).max(initial=0.0)
+    # crossing the volume takes <= M slabs; each slab advances the ray by
+    # ~1/|d_march| in alpha. The transverse divergence between neighboring
+    # rays accumulated over the whole volume is the tile span driver.
+    return float(row_d * SUB + col_d * LANE) * 1.2 + 4.0
+
+
+def raymarch_trilinear_pallas(
+    density: jnp.ndarray,
+    affine_inverse: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    n_samples: int | None = None,  # unused: sampling = slab crossings
+    mask=None,
+    labels=None,
+    det_shape: tuple[int, int] | None = None,
+    window: int = 32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear` (single
+    channel; labelmap channel rendering falls back to the XLA path).
+
+    ``source``/``target``: (B, 1|R, 3) world mm; returns (B, R).
+    """
+    if mask is not None and labels is not None:
+        from . import xla
+
+        return xla.raymarch_trilinear(
+            density, affine_inverse, source, target,
+            n_samples=n_samples or 256, mask=mask, labels=labels,
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, R = target.shape[0], target.shape[1]
+    if det_shape is None:
+        side = int(round(np.sqrt(R)))
+        if side * side != R:
+            raise ValueError("det_shape required for non-square ray grids")
+        det_shape = (side, side)
+
+    A = affine_inverse
+    s_vox = source @ A[:3, :3].T + A[:3, 3]
+    t_vox = target @ A[:3, :3].T + A[:3, 3]
+    s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
+    d_vox = t_vox - s_vox
+    raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)
+
+    # permutation is data-dependent metadata: compute from a cheap host probe
+    d_mean = np.asarray(jax.device_get(jnp.mean(d_vox, axis=(0, 1))))
+    perm = _choose_permutation(d_mean)
+    march, win, lane = perm
+
+    vol_perm = jnp.transpose(density, perm)
+    packed = _pack_pairs(vol_perm)
+
+    s_p = jnp.stack([s_vox[..., march], s_vox[..., win], s_vox[..., lane]], axis=-1)
+    d_p = jnp.stack([d_vox[..., march], d_vox[..., win], d_vox[..., lane]], axis=-1)
+    wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
+
+    return _render(
+        packed, s_p, d_p, wscale,
+        det_shape=det_shape,
+        vol_shape=tuple(vol_perm.shape),
+        window=int(window),
+        perm=perm,
+        interpret=bool(interpret),
+    )
+
+
+def raymarch_siddon_pallas(*args, **kwargs):
+    """Placeholder: exact Siddon on TPU currently routes to the XLA DDA.
+
+    The slab-marching Pallas kernel above IS a Siddon-type exact integrator
+    along the march axis with bilinear transverse interpolation; a dedicated
+    exact-Siddon kernel is future work.
+    """
+    from . import xla
+
+    kwargs.pop("det_shape", None)
+    kwargs.pop("window", None)
+    kwargs.pop("interpret", None)
+    kwargs.pop("n_samples", None)
+    return xla.raymarch_siddon(*args, **kwargs)

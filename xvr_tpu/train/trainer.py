@@ -106,10 +106,13 @@ class Trainer:
         pin_memory=False,
         weights=None,
         seed=0,
+        mesh=None,
     ):
         cfg = dict(locals())
         cfg.pop("self")
+        cfg.pop("mesh")  # a Mesh is runtime topology, not checkpointable config
         self.config = cfg
+        self.mesh = mesh
 
         self.outpath = Path(outpath)
         self.outpath.mkdir(parents=True, exist_ok=True)
@@ -226,6 +229,16 @@ class Trainer:
         p_aug = self.p_augmentation
         transforms = self.transforms
         use_reframe = self.reframe is not None
+        mesh = self.mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch, shard_rays
+        else:
+            shard_batch = shard_rays = None
+
+        def _shard_pose(pose: RigidTransform) -> RigidTransform:
+            if mesh is None:
+                return pose
+            return RigidTransform(shard_batch(mesh, pose.matrix))
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, key, projector: Projector, center, reframe):
@@ -233,7 +246,7 @@ class Trainer:
 
             # Sample poses about the isocenter, then shift to the volume center
             pose = get_random_pose(k_pose, batch_size=batch_size, **ranges)
-            pose = pose.compose(make_translation(center))
+            pose = _shard_pose(pose.compose(make_translation(center)))
 
             # Random bone contrast (trainer.py:124,196)
             contrast = jax.random.uniform(k_contrast, (), minval=1.0, maxval=10.0)
@@ -241,6 +254,8 @@ class Trainer:
 
             # Target DRRs (no gradient; trainer.py:199-205)
             src, tgt = projector.rays(pose)
+            if mesh is not None:
+                tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
             raw = projector.render_rays(src, tgt, density=density)
             raw = projector.reshape_transform(raw, batch_size)  # (B, C, H, W)
             raw = jax.lax.stop_gradient(raw)
@@ -263,6 +278,8 @@ class Trainer:
                     pred_pose = pred_pose.compose(RigidTransform(reframe))
                 # Differentiable re-render at the predicted poses
                 psrc, ptgt = projector.rays(pred_pose)
+                if mesh is not None:
+                    ptgt = shard_rays(mesh, ptgt)
                 praw = projector.render_rays(psrc, ptgt, density=density)
                 praw = projector.reshape_transform(praw, batch_size)
                 pfg = (praw > 0).astype(praw.dtype)
