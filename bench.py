@@ -51,7 +51,7 @@ def main():
     det = Detector(sdd=1020.0, height=H, width=H, delx=2.0, dely=2.0)
 
     ranges = dict(
-        alphamin=-30.0, alphamax=30.0, betamin=-15.0, betamax=15.0,
+        alphamin=150.0, alphamax=210.0, betamin=-15.0, betamax=15.0,
         gammamin=-15.0, gammamax=15.0, txmin=-30.0, txmax=30.0,
         tymin=500.0, tymax=800.0, tzmin=-30.0, tzmax=30.0,
     )

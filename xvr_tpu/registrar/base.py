@@ -263,7 +263,7 @@ class RegistrarBase:
         final_ncc = None
         for stage_idx, (scale, n_itr) in enumerate(zip(scales, self.n_itrs), start=1):
             proj = self.projector.rescale_detector(scale)
-            key = (proj.detector, n_itr, imagesim_cfg)
+            key = (proj.detector, proj.renderer, proj.pallas_perm, n_itr, imagesim_cfg)
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
             stage_fn, transform = self._stage_cache[key]
@@ -310,6 +310,17 @@ class RegistrarBase:
 
         scales = _parse_scales(self.scales, self.crop, H)
         self.projector = self.projector.set_intrinsics(**intrinsics)
+
+        # TPU fast path: fix the Pallas kernel's march axis from the initial
+        # pose (optimization stays within a few degrees of it per stage)
+        import os as _os
+
+        if (
+            self.renderer == "trilinear"
+            and jax.default_backend() == "tpu"
+            and not _os.environ.get("XVR_NO_PALLAS")
+        ):
+            self.projector = self.projector.with_pallas(init_pose, window=48)
 
         if self.init_only:
             proj = self.projector.rescale_detector(scales[0])

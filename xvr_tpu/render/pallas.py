@@ -150,6 +150,177 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
     out[0] = acc * ws
 
 
+def _aabb_with_partials(s, d, n):
+    """Per-axis AABB alphas and their partials w.r.t. (s_axis, d_axis).
+
+    Returns (lo_t, hi_t, dlo_ds, dlo_dd, dhi_ds, dhi_dd) for one axis: the
+    entry/exit candidates min(t1, t2)/max(t1, t2) for planes at -0.5, n-0.5,
+    with subgradients through the active plane.
+    """
+    safe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t1 = (-0.5 - s) / safe
+    t2 = (n - 0.5 - s) / safe
+    use1_lo = t1 <= t2
+    lo_t = jnp.where(use1_lo, t1, t2)
+    hi_t = jnp.where(use1_lo, t2, t1)
+    inv = 1.0 / safe
+    dlo_ds = -inv
+    dhi_ds = -inv
+    dlo_dd = -lo_t * inv
+    dhi_dd = -hi_t * inv
+    parallel = jnp.abs(d) < 1e-9
+    inside = (s > -0.5) & (s < n - 0.5)
+    lo_t = jnp.where(parallel, jnp.where(inside, -3e38, 3e38), lo_t)
+    hi_t = jnp.where(parallel, jnp.where(inside, 3e38, -3e38), hi_t)
+    zero = jnp.zeros_like(s)
+    dlo_ds = jnp.where(parallel, zero, dlo_ds)
+    dlo_dd = jnp.where(parallel, zero, dlo_dd)
+    dhi_ds = jnp.where(parallel, zero, dhi_ds)
+    dhi_dd = jnp.where(parallel, zero, dhi_dd)
+    return lo_t, hi_t, dlo_ds, dlo_dd, dhi_ds, dhi_dd
+
+
+def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
+                gs0, gs1, gs2, gd0, gd1, gd2, gws,
+                *, M, Wd, H, L, window):
+    """Analytic reverse pass: re-marches the volume and accumulates per-ray
+    gradients w.r.t. the permuted source/direction components and the weight
+    scale. Same memory pattern as the forward (volume resident in VMEM), so
+    the backward runs at ~2x the forward cost instead of paying XLA's scatter
+    machinery."""
+    s0, s1, s2 = s0[0], s1[0], s2[0]
+    d0, d1, d2 = d0[0], d1[0], d2[0]
+    ws, g = ws[0], g[0]
+
+    safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
+    inv_d0 = 1.0 / safe_d0
+    abs_d0 = jnp.abs(safe_d0)
+    sgn_d0 = jnp.sign(safe_d0)
+    half = 0.5 / abs_d0
+    dh_dd0 = -sgn_d0 * 2.0 * half * half  # d(1/(2|d0|))/d d0
+
+    # AABB with partials; track the active axis/side for a_in and a_out
+    zero = jnp.zeros_like(s0)
+    a_in, a_out = jnp.zeros_like(s0), jnp.ones_like(s0)
+    # partials of a_in/a_out wrt the 6 inputs (only active axis contributes)
+    dain = [zero] * 6  # order: s0 s1 s2 d0 d1 d2
+    daout = [zero] * 6
+    axes = ((s0, d0, M, 0, 3), (s1, d1, Wd, 1, 4), (s2, d2, L, 2, 5))
+    for s_i, d_i, n_i, si_idx, di_idx in axes:
+        lo_t, hi_t, dls, dld, dhs, dhd = _aabb_with_partials(s_i, d_i, n_i)
+        take_lo = lo_t > a_in
+        a_in = jnp.maximum(a_in, lo_t)
+        dain = [jnp.where(take_lo, zero, gprev) for gprev in dain]
+        dain[si_idx] = jnp.where(take_lo, dls, dain[si_idx])
+        dain[di_idx] = jnp.where(take_lo, dld, dain[di_idx])
+        take_hi = hi_t < a_out
+        a_out = jnp.minimum(a_out, hi_t)
+        daout = [jnp.where(take_hi, zero, gprev) for gprev in daout]
+        daout[si_idx] = jnp.where(take_hi, dhs, daout[si_idx])
+        daout[di_idx] = jnp.where(take_hi, dhd, daout[di_idx])
+    clip_out = a_out < a_in
+    a_out = jnp.maximum(a_out, a_in)
+    daout = [jnp.where(clip_out, gi, go) for gi, go in zip(dain, daout)]
+
+    def slab(m, carry):
+        acc, g0, g1_, g2_, g3_, g4_, g5_ = carry
+        mf = m.astype(jnp.float32)
+        alpha = (mf - s0) * inv_d0
+        da_ds0 = -inv_d0
+        da_dd0 = -alpha * inv_d0
+        p1 = s1 + alpha * d1
+        p2 = s2 + alpha * d2
+
+        u_arg = alpha + half
+        v_arg = alpha - half
+        u = jnp.minimum(u_arg, a_out)
+        v = jnp.maximum(v_arg, a_in)
+        span = jnp.maximum(u - v, 0.0)
+        W = span * abs_d0
+        open_ = span > 0.0
+        u_int = u_arg < a_out
+        v_int = v_arg > a_in
+
+        valid = open_
+        valid &= (p1 > -1.0) & (p1 < Wd)
+        valid &= (p2 >= 0.0) & (p2 <= L - 1.0)
+        valid &= ws > 0.0
+
+        p1_for_min = jnp.where(valid, p1, 3.4e38)
+        z0 = jnp.floor(jnp.min(p1_for_min)).astype(jnp.int32)
+        z0 = jnp.clip(z0, 0, max(Wd - window, 0))
+
+        idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
+        fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
+        in_lo = idx < LANE
+        idx_lo = jnp.where(in_lo, idx, 0)
+        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
+
+        B = jnp.zeros_like(s0)
+        dB_dp1 = jnp.zeros_like(s0)
+        dB_dp2 = jnp.zeros_like(s0)
+        for dwin in range(window):
+            zr = z0 + dwin
+            diff = p1 - zr.astype(jnp.float32)
+            inside_row = (jnp.abs(diff) < 1.0) & (zr >= 0) & (zr < Wd) & valid
+            wz = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+            dtri = -jnp.sign(diff)
+            base = (m * Wd + jnp.clip(zr, 0, Wd - 1)) * H
+            row0 = jnp.broadcast_to(table[pl.ds(base, 1), :], (SUB, LANE))
+            gat = jnp.take_along_axis(row0, idx_lo, axis=1)
+            if H > 1:
+                row1 = jnp.broadcast_to(table[pl.ds(base + 1, 1), :], (SUB, LANE))
+                gat = jnp.where(in_lo, gat, jnp.take_along_axis(row1, idx_hi, axis=1))
+            lo, hi = _unpack(gat)
+            val = lo + fx * (hi - lo)
+            mask = inside_row.astype(jnp.float32)
+            B += mask * wz * val
+            dB_dp1 += mask * dtri * val
+            dB_dp2 += mask * wz * (hi - lo)
+
+        gc = g * ws  # upstream for acc contributions
+        validf = valid.astype(jnp.float32)
+
+        # dW/dθ = |d0| dspan + span d|d0|; dspan = [open](du - dv)
+        def dspan(d_alpha, d_h, d_ain, d_aout):
+            du = jnp.where(u_int, d_alpha + d_h, d_aout)
+            dv = jnp.where(v_int, d_alpha - d_h, d_ain)
+            return jnp.where(open_, du - dv, 0.0)
+
+        # per-θ: (d_alpha, d_h, dp1, dp2, extra dW term)
+        # s0
+        dW = abs_d0 * dspan(da_ds0, zero, dain[0], daout[0])
+        g0 += gc * validf * (dW * B + W * (dB_dp1 * d1 * da_ds0 + dB_dp2 * d2 * da_ds0))
+        # s1
+        dW = abs_d0 * dspan(zero, zero, dain[1], daout[1])
+        g1_ += gc * validf * (dW * B + W * dB_dp1)
+        # s2
+        dW = abs_d0 * dspan(zero, zero, dain[2], daout[2])
+        g2_ += gc * validf * (dW * B + W * dB_dp2)
+        # d0
+        dW = abs_d0 * dspan(da_dd0, dh_dd0, dain[3], daout[3]) + span * sgn_d0
+        g3_ += gc * validf * (dW * B + W * (dB_dp1 * d1 * da_dd0 + dB_dp2 * d2 * da_dd0))
+        # d1
+        dW = abs_d0 * dspan(zero, zero, dain[4], daout[4])
+        g4_ += gc * validf * (dW * B + W * dB_dp1 * alpha)
+        # d2
+        dW = abs_d0 * dspan(zero, zero, dain[5], daout[5])
+        g5_ += gc * validf * (dW * B + W * dB_dp2 * alpha)
+
+        acc += jnp.where(valid, W * B, 0.0)
+        return (acc, g0, g1_, g2_, g3_, g4_, g5_)
+
+    init = tuple(jnp.zeros((SUB, LANE), jnp.float32) for _ in range(7))
+    acc, g0, g1_, g2_, g3_, g4_, g5_ = jax.lax.fori_loop(0, M, slab, init)
+    gs0[0] = g0
+    gs1[0] = g1_
+    gs2[0] = g2_
+    gd0[0] = g3_
+    gd1[0] = g4_
+    gd2[0] = g5_
+    gws[0] = g * acc
+
+
 def _pad_to(x, m, axis):
     n = x.shape[axis]
     pad = (-n) % m
@@ -158,6 +329,99 @@ def _pad_to(x, m, axis):
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, pad)
     return jnp.pad(x, pads)
+
+
+def _prep_fields(s_vox, d_vox, wscale, det_shape):
+    Hd, Wdet = det_shape
+
+    def prep(x):
+        x = x.reshape(x.shape[0], Hd, Wdet)
+        return _pad_to(_pad_to(x, SUB, 1), LANE, 2)
+
+    fields = [prep(s_vox[..., k]) for k in range(3)]
+    fields += [prep(d_vox[..., k]) for k in range(3)]
+    fields.append(prep(wscale))
+    return fields
+
+
+def _specs(B, Hp, Wp, table_shape, n_rays_io, n_outs):
+    ray_spec = pl.BlockSpec(
+        (1, SUB, LANE), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(table_shape, lambda b, i, j: (0, 0), memory_space=pltpu.VMEM)
+    grid = (B, Hp // SUB, Wp // LANE)
+    in_specs = [ray_spec] * n_rays_io + [tab_spec]
+    out_specs = ray_spec if n_outs == 1 else [ray_spec] * n_outs
+    out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)
+    if n_outs > 1:
+        out_shape = [out_shape] * n_outs
+    return grid, in_specs, out_specs, out_shape
+
+
+def _core_impl(packed_table, s_vox, d_vox, wscale, cfg):
+    det_shape, vol_shape, window, interpret = cfg
+    Hd, Wdet = det_shape
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    B = s_vox.shape[0]
+    Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
+    fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
+    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+    out = pl.pallas_call(
+        partial(_kernel, M=M, Wd=Wd, H=H, L=L, window=window),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*fields, packed_table)
+    return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _core(packed_table, s_vox, d_vox, wscale, cfg):
+    return _core_impl(packed_table, s_vox, d_vox, wscale, cfg)
+
+
+def _core_fwd(packed_table, s_vox, d_vox, wscale, cfg):
+    out = _core_impl(packed_table, s_vox, d_vox, wscale, cfg)
+    return out, (packed_table, s_vox, d_vox, wscale)
+
+
+def _core_bwd(cfg, res, g):
+    packed_table, s_vox, d_vox, wscale = res
+    det_shape, vol_shape, window, interpret = cfg
+    Hd, Wdet = det_shape
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    B = s_vox.shape[0]
+    Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
+    fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
+    gp = _pad_to(_pad_to(g.reshape(B, Hd, Wdet), SUB, 1), LANE, 2)
+    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 8, 7)
+    outs = pl.pallas_call(
+        partial(_kernel_bwd, M=M, Wd=Wd, H=H, L=L, window=window),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*fields, gp, packed_table)
+
+    def unpad(x):
+        return x[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
+
+    g_s = jnp.stack([unpad(outs[k]) for k in range(3)], axis=-1)
+    g_d = jnp.stack([unpad(outs[k]) for k in range(3, 6)], axis=-1)
+    g_ws = unpad(outs[6])
+    # volume gradients are not propagated (the CT is data, as in the
+    # reference); the zero cotangent is DCE'd when unused
+    return jnp.zeros_like(packed_table), g_s, g_d, g_ws
+
+
+_core.defvjp(_core_fwd, _core_bwd)
 
 
 @partial(
@@ -176,42 +440,10 @@ def _render(
     perm,
     interpret,
 ):
-    Hd, Wdet = det_shape
-    M, Wd, L = vol_shape
-    H = -(-L // LANE)
-
-    Hp = -(-Hd // SUB) * SUB
-    Wp = -(-Wdet // LANE) * LANE
-
-    def prep(x):
-        x = x.reshape(x.shape[0], Hd, Wdet)
-        x = _pad_to(_pad_to(x, SUB, 1), LANE, 2)
-        return x
-
-    B = s_vox.shape[0]
-    s0 = prep(s_vox[..., 0]); s1 = prep(s_vox[..., 1]); s2 = prep(s_vox[..., 2])
-    d0 = prep(d_vox[..., 0]); d1 = prep(d_vox[..., 1]); d2 = prep(d_vox[..., 2])
-    ws = prep(wscale)
-
-    grid = (B, Hp // SUB, Wp // LANE)
-    ray_spec = pl.BlockSpec(
-        (1, SUB, LANE), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    return _core(
+        packed_table, s_vox, d_vox, wscale,
+        (det_shape, vol_shape, window, interpret),
     )
-    tab_spec = pl.BlockSpec(
-        packed_table.shape, lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        partial(_kernel, M=M, Wd=Wd, H=H, L=L, window=window),
-        grid=grid,
-        in_specs=[ray_spec] * 7 + [tab_spec],
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(s0, s1, s2, d0, d1, d2, ws, packed_table)
-    return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
 
 
 def _choose_permutation(d_mean: np.ndarray) -> tuple[int, int, int]:
@@ -223,6 +455,15 @@ def _choose_permutation(d_mean: np.ndarray) -> tuple[int, int, int]:
     # x-axis of the volume tends to land on lanes for AP poses.
     win, lane = rest[0], rest[1]
     return march, win, lane
+
+
+def choose_permutation_for_pose(pose_R: np.ndarray, affine_inverse: np.ndarray) -> tuple[int, int, int]:
+    """Static permutation from a representative pose (host-side, pre-jit):
+    the beam direction -y_cam mapped through the pose rotation and the
+    world->voxel linear map picks the march axis."""
+    beam_world = np.asarray(pose_R) @ np.asarray([0.0, -1.0, 0.0])
+    beam_vox = np.asarray(affine_inverse)[:3, :3] @ beam_world.reshape(3, -1)
+    return _choose_permutation(beam_vox.mean(axis=-1))
 
 
 def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:
@@ -254,6 +495,7 @@ def raymarch_trilinear_pallas(
     det_shape: tuple[int, int] | None = None,
     window: int = 32,
     interpret: bool | None = None,
+    perm: tuple[int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear` (single
     channel; labelmap channel rendering falls back to the XLA path).
@@ -284,9 +526,11 @@ def raymarch_trilinear_pallas(
     d_vox = t_vox - s_vox
     raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)
 
-    # permutation is data-dependent metadata: compute from a cheap host probe
-    d_mean = np.asarray(jax.device_get(jnp.mean(d_vox, axis=(0, 1))))
-    perm = _choose_permutation(d_mean)
+    if perm is None:
+        # data-dependent metadata: host probe (blocks; pass perm explicitly to
+        # stay jit-traceable, e.g. from choose_permutation_for_pose)
+        d_mean = np.asarray(jax.device_get(jnp.mean(d_vox, axis=(0, 1))))
+        perm = _choose_permutation(d_mean)
     march, win, lane = perm
 
     vol_perm = jnp.transpose(density, perm)
@@ -296,11 +540,13 @@ def raymarch_trilinear_pallas(
     d_p = jnp.stack([d_vox[..., march], d_vox[..., win], d_vox[..., lane]], axis=-1)
     wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
 
+    # a window >= the transverse extent can never clip; cap the cost there
+    window = min(int(window), int(vol_perm.shape[1]))
     return _render(
         packed, s_p, d_p, wscale,
         det_shape=det_shape,
         vol_shape=tuple(vol_perm.shape),
-        window=int(window),
+        window=window,
         perm=perm,
         interpret=bool(interpret),
     )

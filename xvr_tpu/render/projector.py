@@ -28,15 +28,24 @@ from .volume import Volume, transform_hu_to_density
 def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTransform:
     """Camera-frame pre-rotation for anatomical orientation.
 
-    "AP" (default) is the canonical frame (source anterior for an identity
-    pose, see geometry/detector.py); "PA" rotates the camera 180 deg about the
-    world z-axis, mirroring the sign flip the reference applies to the
-    source-to-patient distance for PA studies
-    (/root/reference/src/xvr/io/xray.py:77-79).
+    Matches the reference's effective pose semantics (diffdrr's per-subject
+    reorientation, exercised by the training ranges at
+    /root/reference/scripts/deepfluoro/train/de_novo.sh: alpha in [135, 225]
+    deg with ty in [450, 1000] mm must view a volume at the origin, and the
+    DICOM-header pose path io/xray.py:77-90 builds (alpha, beta, 0) with
+    translation (0, +source-to-patient, 0) for AP / negated for PA):
+
+    * "AP": rotate the camera 180 deg about z — a pose with alpha ~ 180 (the
+      training convention) or the DICOM AP pose (alpha ~ 0 after composing)
+      looks from anterior (+y) back through the origin.
+    * "PA": rotate 180 deg about x — the DICOM PA pose (source at -y) looks
+      from posterior through the origin, with the image flipped vertically
+      relative to AP.
     """
-    if orientation in (None, "AP"):
-        return RigidTransform(jnp.eye(4, dtype=dtype))
     if orientation == "PA":
+        M = jnp.diag(jnp.asarray([1.0, -1.0, -1.0, 1.0], dtype=dtype))
+        return RigidTransform(M)
+    if orientation in (None, "AP"):
         M = jnp.diag(jnp.asarray([-1.0, -1.0, 1.0, 1.0], dtype=dtype))
         return RigidTransform(M)
     raise ValueError(f"Unrecognized orientation {orientation!r}")
@@ -45,7 +54,10 @@ def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTr
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["volume", "density"],
-    meta_fields=["detector", "renderer", "labels", "n_samples", "voxel_shift"],
+    meta_fields=[
+        "detector", "renderer", "labels", "n_samples", "voxel_shift",
+        "pallas_perm", "pallas_window",
+    ],
 )
 @dataclass(frozen=True)
 class Projector:
@@ -56,6 +68,11 @@ class Projector:
     labels: tuple[int, ...] | None = None  # labelmap channels to render
     n_samples: int = 256  # trilinear samples per ray
     voxel_shift: float = 0.0
+    # Pallas fast-path metadata (static): the volume-axis permutation for the
+    # slab-marching kernel and its transverse window size. Set via
+    # with_pallas(); None means probe at call time (host-side, not jittable).
+    pallas_perm: tuple[int, int, int] | None = None
+    pallas_window: int = 32
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -121,6 +138,25 @@ class Projector:
         """Functional ``rescale_detector_`` (registrar/base.py:212)."""
         return self.replace(detector=self.detector.rescale(scale))
 
+    def with_pallas(self, reference_pose=None, window: int | None = None) -> "Projector":
+        """Switch the trilinear renderer to the Pallas TPU fast path, fixing
+        the kernel's volume-axis permutation from a representative pose so the
+        render stays jit-traceable."""
+        from .pallas import choose_permutation_for_pose
+
+        import numpy as np
+
+        if reference_pose is not None:
+            R = np.asarray(jax.device_get(reference_pose.R)).reshape(-1, 3, 3).mean(axis=0)
+        else:
+            R = np.eye(3)
+        perm = choose_permutation_for_pose(R, np.asarray(jax.device_get(self.affine_inverse)))
+        return self.replace(
+            renderer="trilinear_pallas",
+            pallas_perm=perm,
+            pallas_window=int(window) if window is not None else self.pallas_window,
+        )
+
     # -- geometry passthrough ------------------------------------------------
     @property
     def affine_inverse(self) -> jnp.ndarray:
@@ -167,6 +203,9 @@ class Projector:
                 return raymarch_trilinear_pallas(
                     density, self.affine_inverse, source, target,
                     n_samples=self.n_samples, mask=mask, labels=labels,
+                    det_shape=(self.detector.height, self.detector.width),
+                    window=self.pallas_window,
+                    perm=self.pallas_perm,
                 )
             return xla.raymarch_trilinear(
                 density, self.affine_inverse, source, target,

@@ -155,6 +155,29 @@ class Trainer:
         ]
         self.centers = [v.center for v in self.volumes]
 
+        # TPU fast path: single-channel trilinear rendering upgrades to the
+        # Pallas slab-marching kernel, with the march axis fixed from the mean
+        # training pose (disable with XVR_NO_PALLAS=1)
+        import os as _os
+
+        if (
+            renderer == "trilinear"
+            and labels is None
+            and jax.default_backend() == "tpu"
+            and not _os.environ.get("XVR_NO_PALLAS")
+        ):
+            from ..geometry import convert as _convert
+
+            mean_rot = jnp.asarray(
+                [[(alphamin + alphamax) / 2, (betamin + betamax) / 2,
+                  (gammamin + gammamax) / 2]], jnp.float32
+            )
+            ref = _convert(mean_rot, jnp.zeros((1, 3)), "euler_angles", "ZXY", degrees=True)
+            spread = max(alphamax - alphamin, betamax - betamin, gammamax - gammamin) / 2
+            window = 32 if spread <= 15 else (64 if spread <= 35 else 96)
+            self.projectors = [p.with_pallas(ref, window=window) for p in self.projectors]
+            print(f"Using Pallas trilinear kernel (window={window})", flush=True)
+
         # ---- model ----
         self.model = PoseRegressor(
             model_name=model_name,
@@ -325,11 +348,25 @@ class Trainer:
         """Host training loop with checkpointing and logging
         (trainer.py:153-183 semantics; per-step exceptions are not swallowed —
         the jitted step is shape-static and cannot fail sporadically)."""
+        from ..utils.profiling import maybe_trace_dir, trace
+
         t0 = time.time()
         last = {}
+        profile_dir = maybe_trace_dir()
+        profiling = False
         for itr in range(self.start_itr, self.n_total_itrs):
             if itr % self.n_save_every_itrs == 0:
                 self._checkpoint(itr)
+            if profile_dir and itr == self.start_itr + 10 and not profiling:
+                import jax as _jax
+
+                _jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and itr == self.start_itr + 15:
+                import jax as _jax
+
+                _jax.profiler.stop_trace()
+                profiling = False
             metrics = self.step(itr)
             if itr % log_every == 0:
                 last = {k: float(v) for k, v in jax.device_get(metrics).items()}
