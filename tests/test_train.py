@@ -196,3 +196,32 @@ def test_pad_volumes():
     assert out[1].mask.shape == (6, 6, 8)
     # padding is air
     assert float(out[0].data[5].max()) == -1000.0
+
+
+def test_trainer_multi_ct_and_patches(tiny_dataset, tmp_path):
+    """Multi-subject pretraining (BASELINE config 5): volumes in a directory,
+    weighted sampling, optional random patch crops."""
+    import shutil
+
+    vols = tmp_path / "vols"
+    vols.mkdir()
+    shutil.copy(tiny_dataset / "volume.nii.gz", vols / "a.nii.gz")
+    shutil.copy(tiny_dataset / "volume.nii.gz", vols / "b.nii.gz")
+    tr = make_trainer(
+        tiny_dataset, tmp_path / "out5",
+        volpath=vols, n_total_itrs=2, n_grad_accum_itrs=1,
+        weights=[0.7, 0.3],
+    )
+    assert len(tr.projectors) == 2 and not tr.single_subject
+    m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m["loss"])
+
+    # patch-cropped training reuses one compiled step across random crops
+    tr2 = make_trainer(
+        tiny_dataset, tmp_path / "out6",
+        volpath=vols, n_total_itrs=2, n_grad_accum_itrs=1,
+        patch_size=(16, 16, 16),
+    )
+    m1 = {k: float(v) for k, v in jax.device_get(tr2.step(0)).items()}
+    m2 = {k: float(v) for k, v in jax.device_get(tr2.step(1)).items()}
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])

@@ -446,24 +446,37 @@ def _render(
     )
 
 
-def _choose_permutation(d_mean: np.ndarray) -> tuple[int, int, int]:
-    """March axis = dominant mean direction; lane axis = widest transverse."""
+def _choose_permutation(
+    d_mean: np.ndarray, u_dir: np.ndarray | None = None
+) -> tuple[int, int, int]:
+    """March axis = dominant mean ray direction.
+
+    Of the two transverse axes, the one most aligned with the detector
+    COLUMN direction (``u_dir``) must be the LANE axis: the 128-wide lane
+    gather handles arbitrary per-ray variation for free, while the WINDOW
+    axis pays linearly for its per-tile span. Detector columns are the long
+    (128-lane) tile dimension, so putting their image on lanes keeps the
+    window small (usually just the 8-row spread plus in-plane roll).
+    """
     march = int(np.argmax(np.abs(d_mean)))
     rest = [a for a in range(3) if a != march]
-    # lane axis: transverse axis with larger direction spread handled equally
-    # well either way; keep deterministic order (larger index -> lane) so the
-    # x-axis of the volume tends to land on lanes for AP poses.
-    win, lane = rest[0], rest[1]
+    if u_dir is not None:
+        lane = rest[int(np.argmax([abs(u_dir[a]) for a in rest]))]
+    else:
+        lane = rest[1]
+    win = rest[0] if lane == rest[1] else rest[1]
     return march, win, lane
 
 
 def choose_permutation_for_pose(pose_R: np.ndarray, affine_inverse: np.ndarray) -> tuple[int, int, int]:
     """Static permutation from a representative pose (host-side, pre-jit):
-    the beam direction -y_cam mapped through the pose rotation and the
-    world->voxel linear map picks the march axis."""
-    beam_world = np.asarray(pose_R) @ np.asarray([0.0, -1.0, 0.0])
-    beam_vox = np.asarray(affine_inverse)[:3, :3] @ beam_world.reshape(3, -1)
-    return _choose_permutation(beam_vox.mean(axis=-1))
+    the beam direction -y_cam picks the march axis; the detector column
+    direction +x_cam picks the lane axis (see _choose_permutation)."""
+    A = np.asarray(affine_inverse)[:3, :3]
+    R = np.asarray(pose_R)
+    beam_vox = A @ (R @ np.asarray([0.0, -1.0, 0.0]))
+    u_vox = A @ (R @ np.asarray([1.0, 0.0, 0.0]))
+    return _choose_permutation(beam_vox, u_vox)
 
 
 def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:

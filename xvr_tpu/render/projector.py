@@ -147,9 +147,13 @@ class Projector:
         import numpy as np
 
         if reference_pose is not None:
-            R = np.asarray(jax.device_get(reference_pose.R)).reshape(-1, 3, 3).mean(axis=0)
+            # the kernel sees rays from the ORIENTED pose (reorient composed)
+            oriented = self._oriented(reference_pose)
+            R = np.asarray(jax.device_get(oriented.R)).reshape(-1, 3, 3).mean(axis=0)
         else:
-            R = np.eye(3)
+            R = np.asarray(
+                jax.device_get(orientation_transform(self.volume.orientation).R)
+            )
         perm = choose_permutation_for_pose(R, np.asarray(jax.device_get(self.affine_inverse)))
         return self.replace(
             renderer="trilinear_pallas",

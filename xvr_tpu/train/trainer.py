@@ -134,6 +134,7 @@ class Trainer:
 
         # ---- subjects ----
         self.subject_weights = weights
+        self.patch_size = tuple(int(x) for x in patch_size) if patch_size is not None else None
         self.volumes, self.single_subject = self._initialize_subjects(
             volpath, maskpath, orientation
         )
@@ -173,8 +174,15 @@ class Trainer:
                   (gammamin + gammamax) / 2]], jnp.float32
             )
             ref = _convert(mean_rot, jnp.zeros((1, 3)), "euler_angles", "ZXY", degrees=True)
-            spread = max(alphamax - alphamin, betamax - betamin, gammamax - gammamin) / 2
-            window = 32 if spread <= 15 else (64 if spread <= 35 else 96)
+            # Window span model: the window axis picks up the detector ROW
+            # direction (8 sublanes, amplified by the beta tilt) plus the
+            # column direction leaking through the in-plane roll gamma.
+            spacing = float(np.min(np.asarray(self.volumes[0].spacing)))
+            footprint = delx * ((tymin + tymax) / 2 / sdd) / spacing  # vox/px
+            beta_dev = np.deg2rad(min((betamax - betamin) / 2, 60.0))
+            gamma_dev = np.deg2rad(min((gammamax - gammamin) / 2, 60.0))
+            span = footprint * (8.0 * (1.0 + np.tan(beta_dev)) + 128.0 * np.sin(gamma_dev))
+            window = int(np.clip(8 * round((span + 8.0) / 8), 16, 96))
             self.projectors = [p.with_pallas(ref, window=window) for p in self.projectors]
             print(f"Using Pallas trilinear kernel (window={window})", flush=True)
 
@@ -332,15 +340,39 @@ class Trainer:
         w = np.asarray(w, dtype=np.float64)
         return int(np.random.default_rng(int(jax.random.bits(key))).choice(len(self.projectors), p=w / w.sum()))
 
+    def _crop_patch(self, projector: Projector, key):
+        """Random fixed-size crop of the subject volume (torchio UniformSampler
+        Queue semantics, /root/reference/src/xvr/model/utils.py:77-93): the
+        crop keeps a static shape so it reuses the same compiled step; the
+        affine is shifted so world geometry is preserved."""
+        ph, pw, pd = self.patch_size
+        vol = projector.volume
+        nx, ny, nz = vol.data.shape
+        rng = np.random.default_rng(int(jax.random.bits(key)))
+        ox = int(rng.integers(0, max(nx - ph, 0) + 1))
+        oy = int(rng.integers(0, max(ny - pw, 0) + 1))
+        oz = int(rng.integers(0, max(nz - pd, 0) + 1))
+        data = jax.lax.dynamic_slice(vol.data, (ox, oy, oz), (min(ph, nx), min(pw, ny), min(pd, nz)))
+        mask = (
+            jax.lax.dynamic_slice(vol.mask, (ox, oy, oz), data.shape)
+            if vol.mask is not None else None
+        )
+        affine = vol.affine.at[:3, 3].add(vol.affine[:3, :3] @ jnp.asarray([ox, oy, oz], vol.affine.dtype))
+        cropped = Volume(data=data, affine=affine, mask=mask, orientation=vol.orientation)
+        return projector.replace(volume=cropped, density=data), cropped.center
+
     def step(self, itr: int):
-        self.key, k_subj, k_step = jax.random.split(self.key, 3)
+        self.key, k_subj, k_patch, k_step = jax.random.split(self.key, 4)
         idx = self._pick_subject(k_subj)
+        projector, center = self.projectors[idx], self.centers[idx]
+        if self.patch_size is not None:
+            projector, center = self._crop_patch(projector, k_patch)
         reframe = (
             self.reframe.matrix if self.reframe is not None else jnp.eye(4)
         )
         self.params, self.opt_state, metrics = self._step(
             self.params, self.opt_state, k_step,
-            self.projectors[idx], self.centers[idx], reframe,
+            projector, center, reframe,
         )
         return metrics
 
