@@ -187,3 +187,22 @@ def test_magnification():
     width_px = (row > row.max() * 0.5).sum()
     # cube width 16mm, magnified 2x -> 32mm -> 32 px at delx=1
     assert 28 <= width_px <= 36, width_px
+
+
+def test_load_example_ct_and_initialize_drr(tmp_path):
+    from xvr_tpu.io import save_nifti
+    from xvr_tpu.render import initialize_drr, load_example_ct
+
+    vol = load_example_ct()
+    assert vol.data.shape == (96, 96, 96)
+    proj = Projector.from_volume(vol, sdd=1020.0, height=32, delx=8.0, n_samples=96)
+    img = np.asarray(proj(view_pose(700.0)))
+    assert img.max() > 0  # example CT renders non-empty in the AP convention
+
+    save_nifti(tmp_path / "ct.nii.gz", np.asarray(vol.data), np.asarray(vol.affine))
+    proj2 = initialize_drr(
+        tmp_path / "ct.nii.gz", None, None, "AP",
+        height=16, width=16, sdd=1020.0, delx=8.0, dely=8.0,
+        x0=0.0, y0=0.0, reverse_x_axis=False, renderer="trilinear",
+    )
+    assert proj2.detector.height == 16

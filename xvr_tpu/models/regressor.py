@@ -24,12 +24,13 @@ class PoseRegressor(nn.Module):
     convention: str | None = "ZXY"
     norm_layer: str = "groupnorm"
     unit_conversion_factor: float = 1000.0
+    compute_dtype: str = "float32"  # "bfloat16" -> MXU mixed precision
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(B, 1, H, W) [NCHW, matching the rendering pipeline] -> (rot, xyz)."""
         n_rot = N_ANGULAR_COMPONENTS[self.parameterization]
-        feats = create_backbone(self.model_name, self.norm_layer)(
+        feats = create_backbone(self.model_name, self.norm_layer, self.compute_dtype)(
             jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC for conv efficiency
         )
         rot = nn.Dense(n_rot)(feats)

@@ -26,18 +26,19 @@ class BasicBlock(nn.Module):
     filters: int
     norm: ModuleDef
     strides: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides), use_bias=False)(x)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides), use_bias=False, dtype=self.dtype)(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), use_bias=False)(y)
+        y = nn.Conv(self.filters, (3, 3), use_bias=False, dtype=self.dtype)(y)
         y = self.norm()(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
-                self.filters, (1, 1), (self.strides, self.strides), use_bias=False
+                self.filters, (1, 1), (self.strides, self.strides), use_bias=False, dtype=self.dtype
             )(residual)
             residual = self.norm()(residual)
         return nn.relu(y + residual)
@@ -47,37 +48,44 @@ class BottleneckBlock(nn.Module):
     filters: int
     norm: ModuleDef
     strides: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False)(x)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides), use_bias=False)(y)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides), use_bias=False, dtype=self.dtype)(y)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False)(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = self.norm()(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
-                self.filters * 4, (1, 1), (self.strides, self.strides), use_bias=False
+                self.filters * 4, (1, 1), (self.strides, self.strides), use_bias=False, dtype=self.dtype
             )(residual)
             residual = self.norm()(residual)
         return nn.relu(y + residual)
 
 
 class ResNet(nn.Module):
-    """Feature-extracting ResNet; input NHWC, output (B, F) pooled features."""
+    """Feature-extracting ResNet; input NHWC, output (B, F) pooled features.
+
+    ``compute_dtype="bfloat16"`` runs convs on the MXU in bf16 (params and
+    normalization statistics stay float32).
+    """
 
     stage_sizes: Sequence[int]
     block: type = BasicBlock
     num_filters: int = 64
     norm_layer: str = "groupnorm"
     num_groups: int = 32
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         if self.norm_layer == "groupnorm":
             def make_norm():
                 return _AdaptiveGroupNorm(self.num_groups)
@@ -89,7 +97,10 @@ class ResNet(nn.Module):
         else:
             raise ValueError(f"Unsupported norm_layer {self.norm_layer!r}")
 
-        x = nn.Conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False)(x)
+        x = nn.Conv(
+            self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=dtype,
+        )(x)
         x = make_norm()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -97,9 +108,10 @@ class ResNet(nn.Module):
             for j in range(block_size):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = self.block(
-                    filters=self.num_filters * 2**i, norm=make_norm, strides=strides
+                    filters=self.num_filters * 2**i, norm=make_norm,
+                    strides=strides, dtype=dtype,
                 )(x)
-        return jnp.mean(x, axis=(1, 2))
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 class _AdaptiveGroupNorm(nn.Module):
@@ -124,10 +136,15 @@ _CONFIGS = {
 }
 
 
-def create_backbone(model_name: str, norm_layer: str = "groupnorm") -> ResNet:
+def create_backbone(
+    model_name: str, norm_layer: str = "groupnorm", compute_dtype: str = "float32"
+) -> ResNet:
     if model_name not in _CONFIGS:
         raise ValueError(
             f"Unknown model_name {model_name!r}; available: {sorted(_CONFIGS)}"
         )
     cfg = _CONFIGS[model_name]
-    return ResNet(stage_sizes=cfg["stage_sizes"], block=cfg["block"], norm_layer=norm_layer)
+    return ResNet(
+        stage_sizes=cfg["stage_sizes"], block=cfg["block"],
+        norm_layer=norm_layer, compute_dtype=compute_dtype,
+    )

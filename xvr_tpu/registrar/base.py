@@ -155,15 +155,19 @@ class RegistrarBase:
                 s = s + (1.0 - beta) * gradient_ncc(x, y, gncc_patch_size, sigma)
             return s[0]
 
-        def loss_fn(rot, xyz, gt, density):
+        use_pallas = projector.renderer == "trilinear_pallas"
+
+        def loss_fn(rot, xyz, gt, density, packed):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
-            img = projector(pose, density=density)
+            img = projector(pose, density=density, packed=packed)
             return imagesim(gt, transform(img))
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
         @jax.jit
         def stage(rot, xyz, gt, density, lr_rot, lr_xyz):
+            # pack the volume ONCE per stage (hoisted out of the while_loop)
+            packed = projector.pack_for_pallas(density) if use_pallas else None
             # Adam moments
             m_r = jnp.zeros_like(rot); v_r = jnp.zeros_like(rot)
             m_x = jnp.zeros_like(xyz); v_x = jnp.zeros_like(xyz)
@@ -193,7 +197,7 @@ class RegistrarBase:
             def body(s):
                 i = s["itr"]
                 t = (i + 1).astype(rot.dtype)
-                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density)
+                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density, packed)
 
                 def adam(p, m, v, g, lr):
                     m = b1 * m + (1 - b1) * g
@@ -236,7 +240,7 @@ class RegistrarBase:
                 )
 
             out = jax.lax.while_loop(cond, body, state)
-            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density)
+            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed)
             return (
                 out["rot"], out["xyz"], out["itr"],
                 out["traj"], out["nccs"], out["lrs"], final_ncc,

@@ -1,10 +1,13 @@
+from .load import initialize_drr
 from .projector import Projector, orientation_transform
-from .volume import Volume, make_test_volume, transform_hu_to_density
+from .volume import Volume, load_example_ct, make_test_volume, transform_hu_to_density
 from .xla import raymarch_siddon, raymarch_trilinear
 
 __all__ = [
     "Projector",
     "Volume",
+    "initialize_drr",
+    "load_example_ct",
     "make_test_volume",
     "orientation_transform",
     "raymarch_siddon",

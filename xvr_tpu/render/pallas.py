@@ -509,6 +509,7 @@ def raymarch_trilinear_pallas(
     window: int = 32,
     interpret: bool | None = None,
     perm: tuple[int, int, int] | None = None,
+    packed=None,  # optional (packed_table, vol_shape) from pack_density
 ) -> jnp.ndarray:
     """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear` (single
     channel; labelmap channel rendering falls back to the XLA path).
@@ -546,23 +547,36 @@ def raymarch_trilinear_pallas(
         perm = _choose_permutation(d_mean)
     march, win, lane = perm
 
-    vol_perm = jnp.transpose(density, perm)
-    packed = _pack_pairs(vol_perm)
+    if packed is None:
+        packed, vol_shape = pack_density(density, perm)
+    else:
+        packed, vol_shape = packed
 
     s_p = jnp.stack([s_vox[..., march], s_vox[..., win], s_vox[..., lane]], axis=-1)
     d_p = jnp.stack([d_vox[..., march], d_vox[..., win], d_vox[..., lane]], axis=-1)
     wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
 
     # a window >= the transverse extent can never clip; cap the cost there
-    window = min(int(window), int(vol_perm.shape[1]))
+    window = min(int(window), int(vol_shape[1]))
     return _render(
         packed, s_p, d_p, wscale,
         det_shape=det_shape,
-        vol_shape=tuple(vol_perm.shape),
+        vol_shape=vol_shape,
         window=window,
         perm=perm,
         interpret=bool(interpret),
     )
+
+
+def pack_density(density: jnp.ndarray, perm: tuple[int, int, int]):
+    """Permute + bf16-pair-pack a density grid for the kernel.
+
+    O(volume) work — hoist it out of optimization loops (the registrar packs
+    once per stage; the trainer once per step) and pass the result via the
+    ``packed`` argument of :func:`raymarch_trilinear_pallas`.
+    """
+    vol_perm = jnp.transpose(density, perm)
+    return _pack_pairs(vol_perm), tuple(vol_perm.shape)
 
 
 def raymarch_siddon_pallas(*args, **kwargs):

@@ -185,12 +185,23 @@ class Projector:
         return self.detector.inverse_projection(self._oriented(pose), pts)
 
     # -- rendering -----------------------------------------------------------
+    def pack_for_pallas(self, density: jnp.ndarray | None = None):
+        """Pre-pack a density grid for the Pallas renderer (hoist out of
+        optimization loops; pass the result to render_rays/__call__)."""
+        from .pallas import pack_density
+
+        density = self.density if density is None else density
+        if self.pallas_perm is None:
+            raise ValueError("pack_for_pallas requires pallas_perm (use with_pallas)")
+        return pack_density(density, self.pallas_perm)
+
     def render_rays(
         self,
         source: jnp.ndarray,
         target: jnp.ndarray,
         density: jnp.ndarray | None = None,
         mask: jnp.ndarray | None = None,
+        packed=None,
     ) -> jnp.ndarray:
         """Integrate rays given world-space endpoints.
 
@@ -210,6 +221,7 @@ class Projector:
                     det_shape=(self.detector.height, self.detector.width),
                     window=self.pallas_window,
                     perm=self.pallas_perm,
+                    packed=packed,
                 )
             return xla.raymarch_trilinear(
                 density, self.affine_inverse, source, target,
@@ -239,12 +251,13 @@ class Projector:
         density: jnp.ndarray | None = None,
         mask: jnp.ndarray | None = None,
         calibration=None,
+        packed=None,
     ) -> jnp.ndarray:
         """Render DRRs at a batch of poses -> (B, C, H, W)."""
         squeeze = pose.matrix.ndim == 2
         if squeeze:
             pose = RigidTransform(pose.matrix[None])
         source, target = self.rays(pose, calibration)
-        img = self.render_rays(source, target, density=density, mask=mask)
+        img = self.render_rays(source, target, density=density, mask=mask, packed=packed)
         img = self.reshape_transform(img, batch_size=pose.matrix.shape[0])
         return img[0] if squeeze else img

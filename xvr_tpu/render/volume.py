@@ -91,6 +91,29 @@ def transform_hu_to_density(volume: jnp.ndarray, bone_attenuation_multiplier: fl
     return density
 
 
+def load_example_ct(orientation: str | None = "AP", n: int = 96, spacing: float = 2.0) -> Volume:
+    """A synthetic example CT (API parity with ``diffdrr.data.load_example_ct``,
+    used by the reference when initializing a DRR without a subject,
+    /root/reference/src/xvr/model/utils.py:154-156). Air background with a
+    soft-tissue ellipsoid, a bone shell, and asymmetric bone markers — no
+    download required."""
+    c = (n - 1) / 2.0
+    idx = np.arange(n)
+    X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+    rx, ry, rz = n / 2.6, n / 3.2, n / 2.4
+    r2 = ((X - c) / rx) ** 2 + ((Y - c) / ry) ** 2 + ((Z - c) / rz) ** 2
+    hu = np.where(r2 <= 1.0, 40.0, -1000.0).astype(np.float32)
+    shell = (r2 <= 0.55) & (r2 >= 0.35)
+    hu += np.where(shell, 900.0, 0.0)
+    hu[int(c) + n // 6 : int(c) + n // 4, int(c) - 2 : int(c) + 2, int(c) - 2 : int(c) + 2] = 1400.0
+    affine = np.eye(4, dtype=np.float32) * spacing
+    affine[3, 3] = 1.0
+    affine[:3, 3] = -c * spacing
+    return Volume(
+        data=jnp.asarray(hu), affine=jnp.asarray(affine), orientation=orientation
+    )
+
+
 def make_test_volume(n: int = 32, spacing: float = 1.0, kind: str = "cube") -> Volume:
     """Synthetic phantoms for tests and benchmarks (no data files needed)."""
     c = (n - 1) / 2.0

@@ -187,12 +187,20 @@ class Trainer:
             print(f"Using Pallas trilinear kernel (window={window})", flush=True)
 
         # ---- model ----
+        import os as _os2
+
+        compute_dtype = (
+            "bfloat16"
+            if (_os2.environ.get("XVR_BF16") and jax.default_backend() == "tpu")
+            else "float32"
+        )
         self.model = PoseRegressor(
             model_name=model_name,
             parameterization=parameterization,
             convention=convention,
             norm_layer=norm_layer,
             unit_conversion_factor=unit_conversion_factor,
+            compute_dtype=compute_dtype,
         )
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
@@ -282,12 +290,18 @@ class Trainer:
             # Random bone contrast (trainer.py:124,196)
             contrast = jax.random.uniform(k_contrast, (), minval=1.0, maxval=10.0)
             density = transform_hu_to_density(projector.volume.data, contrast)
+            # pack once per step; reused by target render, pred render, and
+            # the custom-VJP backward
+            packed = (
+                projector.pack_for_pallas(density)
+                if projector.renderer == "trilinear_pallas" else None
+            )
 
             # Target DRRs (no gradient; trainer.py:199-205)
             src, tgt = projector.rays(pose)
             if mesh is not None:
                 tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
-            raw = projector.render_rays(src, tgt, density=density)
+            raw = projector.render_rays(src, tgt, density=density, packed=packed)
             raw = projector.reshape_transform(raw, batch_size)  # (B, C, H, W)
             raw = jax.lax.stop_gradient(raw)
             fg = (raw > 0).astype(raw.dtype)
@@ -311,7 +325,7 @@ class Trainer:
                 psrc, ptgt = projector.rays(pred_pose)
                 if mesh is not None:
                     ptgt = shard_rays(mesh, ptgt)
-                praw = projector.render_rays(psrc, ptgt, density=density)
+                praw = projector.render_rays(psrc, ptgt, density=density, packed=packed)
                 praw = projector.reshape_transform(praw, batch_size)
                 pfg = (praw > 0).astype(praw.dtype)
                 pimg = jnp.sum(praw, axis=1, keepdims=True)
