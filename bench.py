@@ -50,18 +50,29 @@ def main():
     affinv = vol.affine_inverse
     det = Detector(sdd=1020.0, height=H, width=H, delx=2.0, dely=2.0)
 
+    # NOTE: raw detector rays (no orientation reorient) -> alpha ~ 0 views
+    # the origin; reference-style alpha ~ 180 ranges apply to Projector poses.
     ranges = dict(
-        alphamin=150.0, alphamax=210.0, betamin=-15.0, betamax=15.0,
+        alphamin=-30.0, alphamax=30.0, betamin=-15.0, betamax=15.0,
         gammamin=-15.0, gammamax=15.0, txmin=-30.0, txmax=30.0,
         tymin=500.0, tymax=800.0, tzmin=-30.0, tzmax=30.0,
     )
 
+    from xvr_tpu.render.pallas import choose_permutation_for_pose, pack_density
+
+    perm = choose_permutation_for_pose(np.eye(3), np.asarray(affinv))
+    packed = pack_density(density, perm)  # once per volume
+    jax.block_until_ready(packed[0])
+
+    @jax.jit
     def render_trilinear(density, key):
         # Pallas fast path (slab-marching kernel, volume resident in VMEM);
-        # ray generation happens host-side of the kernel call
+        # the pose sampling + ray generation fuse into the same executable
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
-        return raymarch_trilinear_pallas(density, affinv, src, tgt, window=32)
+        return raymarch_trilinear_pallas(
+            density, affinv, src, tgt, window=48, perm=perm, packed=packed
+        )
 
     @jax.jit
     def render_siddon(density, key):

@@ -7,7 +7,6 @@ labels), then build a renderer at the given intrinsics.
 
 from __future__ import annotations
 
-from ..io.volumes import read
 from .projector import Projector
 
 
@@ -29,6 +28,8 @@ def initialize_drr(
     drr_kwargs=None,
     device=None,  # accepted for signature parity; placement is managed by JAX
 ) -> Projector:
+    from ..io.volumes import read  # deferred: io.volumes itself imports render
+
     vol = read(volume, mask, labels=labels, orientation=orientation, **(read_kwargs or {}))
     drr_kwargs = dict(drr_kwargs or {})
     return Projector.from_volume(

@@ -126,25 +126,33 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
         idx_lo = jnp.where(in_lo, idx, 0)
         idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
 
-        def window_row(d, acc):
-            zr = z0 + d
-            # triangle weight folds the window-axis lerp
-            wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
-            base = (m * Wd + jnp.clip(zr, 0, Wd - 1)) * H
-            row0 = jnp.broadcast_to(table[pl.ds(base, 1), :], (SUB, LANE))
-            g = jnp.take_along_axis(row0, idx_lo, axis=1)
-            if H > 1:
-                row1 = jnp.broadcast_to(table[pl.ds(base + 1, 1), :], (SUB, LANE))
-                g1 = jnp.take_along_axis(row1, idx_hi, axis=1)
-                g = jnp.where(in_lo, g, g1)
-            lo, hi = _unpack(g)
-            v = lo + fx * (hi - lo)
-            w = jnp.where(valid & (zr >= 0) & (zr < Wd), wz * w_alpha, 0.0)
-            return acc + w * v
+        def compute(acc):
+            # ONE dynamic slice per slab: the whole window block (rows are
+            # contiguous in the packed layout), then static row indexing
+            base = (m * Wd + z0) * H
+            win = table[pl.ds(base, window * H), :]
 
-        for d in range(window):
-            acc = window_row(d, acc)
-        return acc
+            def window_row(d, acc):
+                zr = z0 + d
+                # triangle weight folds the window-axis lerp
+                wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
+                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
+                g = jnp.take_along_axis(row0, idx_lo, axis=1)
+                if H > 1:
+                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
+                    g1 = jnp.take_along_axis(row1, idx_hi, axis=1)
+                    g = jnp.where(in_lo, g, g1)
+                lo, hi = _unpack(g)
+                v = lo + fx * (hi - lo)
+                w = jnp.where(valid & (zr < Wd), wz * w_alpha, 0.0)
+                return acc + w * v
+
+            for d in range(window):
+                acc = window_row(d, acc)
+            return acc
+
+        # skip slabs the tile's frustum never touches
+        return jax.lax.cond(jnp.any(valid), compute, lambda a: a, acc)
 
     acc = jax.lax.fori_loop(0, M, slab, jnp.zeros((SUB, LANE), jnp.float32))
     out[0] = acc * ws
@@ -256,27 +264,35 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
         idx_lo = jnp.where(in_lo, idx, 0)
         idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
 
-        B = jnp.zeros_like(s0)
-        dB_dp1 = jnp.zeros_like(s0)
-        dB_dp2 = jnp.zeros_like(s0)
-        for dwin in range(window):
-            zr = z0 + dwin
-            diff = p1 - zr.astype(jnp.float32)
-            inside_row = (jnp.abs(diff) < 1.0) & (zr >= 0) & (zr < Wd) & valid
-            wz = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
-            dtri = -jnp.sign(diff)
-            base = (m * Wd + jnp.clip(zr, 0, Wd - 1)) * H
-            row0 = jnp.broadcast_to(table[pl.ds(base, 1), :], (SUB, LANE))
-            gat = jnp.take_along_axis(row0, idx_lo, axis=1)
-            if H > 1:
-                row1 = jnp.broadcast_to(table[pl.ds(base + 1, 1), :], (SUB, LANE))
-                gat = jnp.where(in_lo, gat, jnp.take_along_axis(row1, idx_hi, axis=1))
-            lo, hi = _unpack(gat)
-            val = lo + fx * (hi - lo)
-            mask = inside_row.astype(jnp.float32)
-            B += mask * wz * val
-            dB_dp1 += mask * dtri * val
-            dB_dp2 += mask * wz * (hi - lo)
+        def accumulate_B(_):
+            B = jnp.zeros_like(s0)
+            dB_dp1 = jnp.zeros_like(s0)
+            dB_dp2 = jnp.zeros_like(s0)
+            base = (m * Wd + z0) * H
+            win = table[pl.ds(base, window * H), :]
+            for dwin in range(window):
+                zr = z0 + dwin
+                diff = p1 - zr.astype(jnp.float32)
+                inside_row = (jnp.abs(diff) < 1.0) & valid
+                wz = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+                dtri = -jnp.sign(diff)
+                row0 = jnp.broadcast_to(win[dwin * H][None, :], (SUB, LANE))
+                gat = jnp.take_along_axis(row0, idx_lo, axis=1)
+                if H > 1:
+                    row1 = jnp.broadcast_to(win[dwin * H + 1][None, :], (SUB, LANE))
+                    gat = jnp.where(in_lo, gat, jnp.take_along_axis(row1, idx_hi, axis=1))
+                lo, hi = _unpack(gat)
+                val = lo + fx * (hi - lo)
+                mask = inside_row.astype(jnp.float32)
+                B += mask * wz * val
+                dB_dp1 += mask * dtri * val
+                dB_dp2 += mask * wz * (hi - lo)
+            return B, dB_dp1, dB_dp2
+
+        zeros3 = (jnp.zeros_like(s0),) * 3
+        B, dB_dp1, dB_dp2 = jax.lax.cond(
+            jnp.any(valid), accumulate_B, lambda _: zeros3, None
+        )
 
         gc = g * ws  # upstream for acc contributions
         validf = valid.astype(jnp.float32)
