@@ -158,6 +158,136 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
     out[0] = acc * ws
 
 
+def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
+                     M, Wd, H, L, window, channels):
+    """Forward kernel with labelmap channel splitting.
+
+    Each sample's trilinear contribution is attributed to the channel of the
+    NEAREST voxel's label (matching the XLA renderer's nearest-label
+    semantics): channel 0 = labels outside ``channels``, channel 1+k =
+    ``channels[k]``. ``ltable`` holds int32 labels bitcast to f32 in the same
+    packed row layout as ``table``.
+    """
+    C = len(channels) + 1
+    s0, s1, s2 = s0[0], s1[0], s2[0]
+    d0, d1, d2 = d0[0], d1[0], d2[0]
+    ws = ws[0]
+
+    safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
+    inv_d0 = 1.0 / safe_d0
+    half = 0.5 * jnp.abs(inv_d0)
+
+    a_in = jnp.zeros_like(s0)
+    a_out = jnp.ones_like(s0)
+    for s_i, d_i, n_i in ((s0, d0, M), (s1, d1, Wd), (s2, d2, L)):
+        safe = jnp.where(jnp.abs(d_i) < 1e-9, 1e-9, d_i)
+        t1 = (-0.5 - s_i) / safe
+        t2 = (n_i - 0.5 - s_i) / safe
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        parallel = jnp.abs(d_i) < 1e-9
+        inside = (s_i > -0.5) & (s_i < n_i - 0.5)
+        lo_t = jnp.where(parallel, jnp.where(inside, -3e38, 3e38), lo_t)
+        hi_t = jnp.where(parallel, jnp.where(inside, 3e38, -3e38), hi_t)
+        a_in = jnp.maximum(a_in, lo_t)
+        a_out = jnp.minimum(a_out, hi_t)
+    a_out = jnp.maximum(a_out, a_in)
+
+    def slab(m, accs):
+        mf = m.astype(jnp.float32)
+        alpha = (mf - s0) * inv_d0
+        p1 = s1 + alpha * d1
+        p2 = s2 + alpha * d2
+        w_alpha = jnp.maximum(
+            jnp.minimum(alpha + half, a_out) - jnp.maximum(alpha - half, a_in), 0.0
+        ) * jnp.abs(safe_d0)
+        valid = w_alpha > 0.0
+        valid &= (p1 > -1.0) & (p1 < Wd)
+        valid &= (p2 >= 0.0) & (p2 <= L - 1.0)
+        valid &= ws > 0.0
+
+        p1_for_min = jnp.where(valid, p1, 3.4e38)
+        z0 = jnp.floor(jnp.min(p1_for_min)).astype(jnp.int32)
+        z0 = (z0 // 8) * 8
+        z0 = jnp.clip(z0, 0, max(Wd - window, 0))
+
+        idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
+        fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
+        in_lo = idx < LANE
+        idx_lo = jnp.where(in_lo, idx, 0)
+        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
+        # nearest-voxel indices for the label lookup (4 labels per f32 word)
+        r_near = jnp.clip(jnp.round(p1).astype(jnp.int32), 0, Wd - 1)
+        n_idx = jnp.clip(jnp.round(p2).astype(jnp.int32), 0, L - 1)
+        n_word = n_idx >> 2
+        n_shift = ((n_idx & 3) << 3).astype(jnp.uint32)
+
+        def compute(accs):
+            base = (m * Wd + z0) * H
+            win = table[pl.ds(base, window * H), :]
+            lwin = ltable[pl.ds(m * Wd + z0, window), :]
+
+            contrib = jnp.zeros((SUB, LANE), jnp.float32)
+            lab_bits = jnp.zeros((SUB, LANE), jnp.float32)
+            for d in range(window):
+                zr = z0 + d
+                wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
+                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
+                g = jnp.take_along_axis(row0, idx_lo, axis=1)
+                if H > 1:
+                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
+                    g = jnp.where(in_lo, g, jnp.take_along_axis(row1, idx_hi, axis=1))
+                lo, hi = _unpack(g)
+                v = lo + fx * (hi - lo)
+                w = jnp.where(valid & (zr < Wd), wz * w_alpha, 0.0)
+                contrib = contrib + w * v
+
+                near = valid & (r_near == zr)
+                lrow = jnp.broadcast_to(lwin[d][None, :], (SUB, LANE))
+                lg = jnp.take_along_axis(lrow, n_word, axis=1)
+                lab_bits = jnp.where(near, lg, lab_bits)
+
+            lab = ((pltpu.bitcast(lab_bits, jnp.uint32) >> n_shift) & jnp.uint32(0xFF)).astype(jnp.int32)
+            new_accs = list(accs)
+            is_fg = jnp.zeros((SUB, LANE), jnp.bool_)
+            for k, lv in enumerate(channels):
+                match = lab == lv
+                is_fg = is_fg | match
+                new_accs[k + 1] = accs[k + 1] + jnp.where(match, contrib, 0.0)
+            new_accs[0] = accs[0] + jnp.where(is_fg, 0.0, contrib)
+            return tuple(new_accs)
+
+        return jax.lax.cond(jnp.any(valid), compute, lambda a: a, accs)
+
+    init = tuple(jnp.zeros((SUB, LANE), jnp.float32) for _ in range(C))
+    accs = jax.lax.fori_loop(0, M, slab, init)
+    for k in range(C):
+        outs[k][0] = accs[k] * ws
+
+
+def pack_labels(mask: jnp.ndarray, perm: tuple[int, int, int]) -> jnp.ndarray:
+    """Permute + pack an int labelmap, 4 uint8 labels per f32 word.
+
+    Lane l of row (m * Wd + w) covers lane-axis voxels 4l..4l+3, so a single
+    128-wide gather reaches L <= 512 and the table is 4x smaller than the
+    density table (labels are clipped to 0..255)."""
+    m = jnp.transpose(mask.astype(jnp.uint32), perm)
+    m = jnp.clip(m, 0, 255)
+    Mm, Wd, L = m.shape
+    groups = -(-L // 4)
+    if groups > LANE:
+        raise ValueError(f"lane extent {L} > {4 * LANE} unsupported for labelmaps")
+    pad = groups * 4 - L
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, pad)))
+    m = m.reshape(Mm, Wd, groups, 4)
+    word = m[..., 0] | (m[..., 1] << 8) | (m[..., 2] << 16) | (m[..., 3] << 24)
+    if groups < LANE:
+        word = jnp.pad(word, ((0, 0), (0, 0), (0, LANE - groups)))
+    bits = jax.lax.bitcast_convert_type(word, jnp.float32)
+    return bits.reshape(Mm * Wd, LANE)
+
+
 def _aabb_with_partials(s, d, n):
     """Per-axis AABB alphas and their partials w.r.t. (s_axis, d_axis).
 
@@ -440,6 +570,80 @@ def _core_bwd(cfg, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def _channels_impl(packed_table, label_table, s_vox, d_vox, wscale, cfg):
+    det_shape, vol_shape, window, interpret, channels = cfg
+    Hd, Wdet = det_shape
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    B = s_vox.shape[0]
+    C = len(channels) + 1
+    Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
+    fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
+    ray_spec = pl.BlockSpec((1, SUB, LANE), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(packed_table.shape, lambda b, i, j: (0, 0), memory_space=pltpu.VMEM)
+    ltab_spec = pl.BlockSpec(label_table.shape, lambda b, i, j: (0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_kernel_channels, M=M, Wd=Wd, H=H, L=L, window=window, channels=channels),
+        grid=(B, Hp // SUB, Wp // LANE),
+        in_specs=[ray_spec] * 7 + [tab_spec, ltab_spec],
+        out_specs=[ray_spec] * C,
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * C,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*fields, packed_table, label_table)
+    out = jnp.stack([o[:, :Hd, :Wdet] for o in outs], axis=1)
+    return out.reshape(B, C, Hd * Wdet)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _channels_core(packed_table, label_table, s_vox, d_vox, wscale, cfg):
+    return _channels_impl(packed_table, label_table, s_vox, d_vox, wscale, cfg)
+
+
+def _channels_fwd(packed_table, label_table, s_vox, d_vox, wscale, cfg):
+    out = _channels_impl(packed_table, label_table, s_vox, d_vox, wscale, cfg)
+    return out, (packed_table, label_table, s_vox, d_vox, wscale)
+
+
+def _channels_bwd(cfg, res, g):
+    """Backward through the plain (summed) kernel.
+
+    Exact whenever downstream consumes channels only through their SUM and/or
+    non-differentiable indicators (the training loss does: the summed image
+    feeds mNCC, the per-channel masks only thresholded Dice). Then every
+    channel's cotangent equals the sum-image cotangent g*, and the correct
+    pullback sum_k g_k * d(out_k)/dtheta collapses to g* * d(plain)/dtheta —
+    i.e. the plain backward applied to the (mean) cotangent. Per-channel
+    gradient attribution is intentionally not modeled.
+    """
+    packed_table, label_table, s_vox, d_vox, wscale = res
+    det_shape, vol_shape, window, interpret, channels = cfg
+    g_eff = jnp.mean(g, axis=1)
+    _, g_s, g_d, g_ws = _core_bwd(
+        (det_shape, vol_shape, window, interpret),
+        (packed_table, s_vox, d_vox, wscale),
+        g_eff,
+    )
+    return jnp.zeros_like(packed_table), jnp.zeros_like(label_table), g_s, g_d, g_ws
+
+
+_channels_core.defvjp(_channels_fwd, _channels_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret", "channels"),
+)
+def _render_channels(
+    packed_table, label_table, s_vox, d_vox, wscale,
+    *, det_shape, vol_shape, window, perm, interpret, channels,
+):
+    return _channels_core(
+        packed_table, label_table, s_vox, d_vox, wscale,
+        (det_shape, vol_shape, window, interpret, channels),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret"),
@@ -527,18 +731,13 @@ def raymarch_trilinear_pallas(
     perm: tuple[int, int, int] | None = None,
     packed=None,  # optional (packed_table, vol_shape) from pack_density
 ) -> jnp.ndarray:
-    """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear` (single
-    channel; labelmap channel rendering falls back to the XLA path).
+    """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear`.
 
-    ``source``/``target``: (B, 1|R, 3) world mm; returns (B, R).
+    ``source``/``target``: (B, 1|R, 3) world mm; returns (B, R), or (B, C, R)
+    when a labelmap + labels are given (channel 0 = background; nearest-voxel
+    label attribution, like the XLA renderer).
     """
-    if mask is not None and labels is not None:
-        from . import xla
-
-        return xla.raymarch_trilinear(
-            density, affine_inverse, source, target,
-            n_samples=n_samples or 256, mask=mask, labels=labels,
-        )
+    use_channels = mask is not None and labels is not None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -574,6 +773,17 @@ def raymarch_trilinear_pallas(
 
     # a window >= the transverse extent can never clip; cap the cost there
     window = min(int(window), int(vol_shape[1]))
+    if use_channels:
+        label_table = pack_labels(mask, perm)
+        return _render_channels(
+            packed, label_table, s_p, d_p, wscale,
+            det_shape=det_shape,
+            vol_shape=vol_shape,
+            window=window,
+            perm=perm,
+            interpret=bool(interpret),
+            channels=tuple(int(x) for x in labels),
+        )
     return _render(
         packed, s_p, d_p, wscale,
         det_shape=det_shape,

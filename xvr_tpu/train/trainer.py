@@ -163,7 +163,6 @@ class Trainer:
 
         if (
             renderer == "trilinear"
-            and labels is None
             and jax.default_backend() == "tpu"
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
