@@ -36,7 +36,7 @@ def main():
 
     N = 256  # volume resolution
     H = 256  # detector resolution
-    B = 8  # poses per call
+    B = 16  # poses per call
     S = 256  # trilinear samples per ray
 
     rng = np.random.default_rng(0)
@@ -71,7 +71,7 @@ def main():
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_trilinear_pallas(
-            density, affinv, src, tgt, window=48, perm=perm, packed=packed
+            density, affinv, src, tgt, window=40, perm=perm, packed=packed
         )
 
     @jax.jit
@@ -80,7 +80,7 @@ def main():
         src, tgt = det.rays(pose)
         return raymarch_siddon(density, affinv, src, tgt)
 
-    def bench(fn, name, n_iter=10):
+    def bench(fn, name, n_iter=30):
         key = jax.random.PRNGKey(0)
         t0 = time.perf_counter()
         fn(density, key).block_until_ready()
@@ -97,13 +97,13 @@ def main():
         return drrs_per_sec
 
     tri = bench(render_trilinear, "trilinear 256^2")
-    sid = bench(render_siddon, "siddon 256^2", n_iter=4)
+    sid = bench(render_siddon, "siddon 256^2", n_iter=2)
 
     target = 5000.0
     print(
         json.dumps(
             {
-                "metric": "256^2 DRRs/sec/chip (trilinear Pallas kernel; 256^3 CT, batch 8)",
+                "metric": f"256^2 DRRs/sec/chip (trilinear Pallas kernel; 256^3 CT, batch {B})",
                 "value": round(tri, 1),
                 "unit": "DRRs/s",
                 "vs_baseline": round(tri / target, 4),
