@@ -26,9 +26,8 @@ def main():
     import jax.numpy as jnp
 
     from xvr_tpu.geometry import Detector
-    from xvr_tpu.render.pallas import raymarch_trilinear_pallas
+    from xvr_tpu.render.pallas import raymarch_siddon_pallas, raymarch_trilinear_pallas
     from xvr_tpu.render.volume import Volume, transform_hu_to_density
-    from xvr_tpu.render.xla import raymarch_siddon
     from xvr_tpu.train.sampler import get_random_pose
 
     dev = jax.devices()[0]
@@ -78,7 +77,9 @@ def main():
     def render_siddon(density, key):
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
-        return raymarch_siddon(density, affinv, src, tgt)
+        return raymarch_siddon_pallas(
+            density, affinv, src, tgt, window=40, perm=perm, packed=packed
+        )
 
     def bench(fn, name, n_iter=30):
         key = jax.random.PRNGKey(0)
@@ -97,13 +98,13 @@ def main():
         return drrs_per_sec
 
     tri = bench(render_trilinear, "trilinear 256^2")
-    sid = bench(render_siddon, "siddon 256^2", n_iter=2)
+    sid = bench(render_siddon, "siddon 256^2", n_iter=30)
 
     target = 5000.0
     print(
         json.dumps(
             {
-                "metric": f"256^2 DRRs/sec/chip (trilinear Pallas kernel; 256^3 CT, batch {B})",
+                "metric": f"256^2 DRRs/sec/chip (trilinear+siddon Pallas kernels; 256^3 CT, batch {B})",
                 "value": round(tri, 1),
                 "unit": "DRRs/s",
                 "vs_baseline": round(tri / target, 4),

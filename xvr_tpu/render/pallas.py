@@ -158,6 +158,117 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
     out[0] = acc * ws
 
 
+def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
+    """Exact Siddon forward kernel (piecewise-constant voxel model).
+
+    Within one march slab the ray crosses at most ONE window plane and ONE
+    lane plane (guaranteed while |d_win|,|d_lane| <= |d_march|, i.e. rays
+    within 45 degrees of the march axis — the same regime the window model
+    assumes). The slab interval therefore splits into <= 3 segments whose
+    voxels lie in {ra, rb} x {ca, cb} with rb = ra +- 1, cb = ca +- 1; one
+    bf16-pair gather per window row serves both lane neighbors, and exact
+    crossing parameters give exact per-voxel path lengths.
+    """
+    s0, s1, s2 = s0[0], s1[0], s2[0]
+    d0, d1, d2 = d0[0], d1[0], d2[0]
+    ws = ws[0]
+
+    safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
+    inv_d0 = 1.0 / safe_d0
+    abs_d0 = jnp.abs(safe_d0)
+    half = 0.5 * jnp.abs(inv_d0)
+    safe_d1 = jnp.where(jnp.abs(d1) < 1e-9, 1e-9, d1)
+    safe_d2 = jnp.where(jnp.abs(d2) < 1e-9, 1e-9, d2)
+
+    a_in = jnp.zeros_like(s0)
+    a_out = jnp.ones_like(s0)
+    for s_i, d_i, n_i in ((s0, d0, M), (s1, d1, Wd), (s2, d2, L)):
+        safe = jnp.where(jnp.abs(d_i) < 1e-9, 1e-9, d_i)
+        t1 = (-0.5 - s_i) / safe
+        t2 = (n_i - 0.5 - s_i) / safe
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        parallel = jnp.abs(d_i) < 1e-9
+        inside = (s_i > -0.5) & (s_i < n_i - 0.5)
+        lo_t = jnp.where(parallel, jnp.where(inside, -3e38, 3e38), lo_t)
+        hi_t = jnp.where(parallel, jnp.where(inside, 3e38, -3e38), hi_t)
+        a_in = jnp.maximum(a_in, lo_t)
+        a_out = jnp.minimum(a_out, hi_t)
+    a_out = jnp.maximum(a_out, a_in)
+
+    BIG = jnp.float32(3e38)
+
+    def slab(m, acc):
+        mf = m.astype(jnp.float32)
+        alpha = (mf - s0) * inv_d0
+        aa = jnp.maximum(alpha - half, a_in)
+        ab = jnp.minimum(alpha + half, a_out)
+        seg = ab - aa
+        valid = (seg > 0.0) & (ws > 0.0)
+
+        eps = 1e-5 * jnp.maximum(seg, 0.0)
+        p1a = s1 + (aa + eps) * d1
+        p1b = s1 + (ab - eps) * d1
+        p2a = s2 + (aa + eps) * d2
+        p2b = s2 + (ab - eps) * d2
+        ra = jnp.clip(jnp.round(p1a).astype(jnp.int32), 0, Wd - 1)
+        rb = jnp.clip(jnp.round(p1b).astype(jnp.int32), 0, Wd - 1)
+        ca = jnp.clip(jnp.round(p2a).astype(jnp.int32), 0, L - 1)
+        cb = jnp.clip(jnp.round(p2b).astype(jnp.int32), 0, L - 1)
+
+        # crossing parameters (BIG = no crossing inside the slab)
+        plane_w = (jnp.maximum(ra, rb).astype(jnp.float32) - 0.5)
+        tw = jnp.where(ra != rb, (plane_w - s1) / safe_d1, BIG)
+        plane_l = (jnp.maximum(ca, cb).astype(jnp.float32) - 0.5)
+        tl = jnp.where(ca != cb, (plane_l - s2) / safe_d2, BIG)
+        first_is_w = tw <= tl
+        t1c = jnp.clip(jnp.minimum(tw, tl), aa, ab)
+        t2c = jnp.clip(jnp.maximum(tw, tl), aa, ab)
+        L1 = t1c - aa
+        L2 = t2c - t1c
+        L3 = ab - t2c
+        L_ra_ca = L1
+        L_rb_ca = jnp.where(first_is_w, L2, 0.0)
+        L_ra_cb = jnp.where(first_is_w, 0.0, L2)
+        L_rb_cb = L3
+
+        # window base over the two candidate rows
+        rmin = jnp.minimum(ra, rb)
+        z0 = jnp.floor(jnp.min(jnp.where(valid, rmin.astype(jnp.float32), 3.4e38))).astype(jnp.int32)
+        z0 = (z0 // 8) * 8
+        z0 = jnp.clip(z0, 0, max(Wd - window, 0))
+
+        cmin = jnp.clip(jnp.minimum(ca, cb), 0, L - 1)
+        in_lo = cmin < LANE
+        idx_lo = jnp.where(in_lo, cmin, 0)
+        idx_hi = jnp.clip(cmin - LANE, 0, LANE - 1)
+
+        def compute(acc):
+            base = (m * Wd + z0) * H
+            win = table[pl.ds(base, window * H), :]
+            contrib = jnp.zeros((SUB, LANE), jnp.float32)
+            for d in range(window):
+                zr = z0 + d
+                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
+                g = jnp.take_along_axis(row0, idx_lo, axis=1)
+                if H > 1:
+                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
+                    g = jnp.where(in_lo, g, jnp.take_along_axis(row1, idx_hi, axis=1))
+                lo, hi = _unpack(g)
+                v_ca = jnp.where(ca == cmin, lo, hi)
+                v_cb = jnp.where(cb == cmin, lo, hi)
+                m_ra = valid & (ra == zr)
+                m_rb = valid & (rb == zr)
+                contrib = contrib + jnp.where(m_ra, L_ra_ca * v_ca + L_ra_cb * v_cb, 0.0)
+                contrib = contrib + jnp.where(m_rb, L_rb_ca * v_ca + L_rb_cb * v_cb, 0.0)
+            return acc + contrib
+
+        return jax.lax.cond(jnp.any(valid), compute, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, M, slab, jnp.zeros((SUB, LANE), jnp.float32))
+    out[0] = acc * ws * abs_d0  # alpha-lengths * raylen
+
+
 def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
                      M, Wd, H, L, window, channels):
     """Forward kernel with labelmap channel splitting.
@@ -805,17 +916,93 @@ def pack_density(density: jnp.ndarray, perm: tuple[int, int, int]):
     return _pack_pairs(vol_perm), tuple(vol_perm.shape)
 
 
-def raymarch_siddon_pallas(*args, **kwargs):
-    """Placeholder: exact Siddon on TPU currently routes to the XLA DDA.
+@partial(
+    jax.jit,
+    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret"),
+)
+def _render_siddon(
+    packed_table, s_vox, d_vox, wscale,
+    *, det_shape, vol_shape, window, perm, interpret,
+):
+    det = det_shape
+    Hd, Wdet = det
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    B = s_vox.shape[0]
+    Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
+    fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
+    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+    out = pl.pallas_call(
+        partial(_kernel_siddon, M=M, Wd=Wd, H=H, L=L, window=window),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*fields, packed_table)
+    return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
 
-    The slab-marching Pallas kernel above IS a Siddon-type exact integrator
-    along the march axis with bilinear transverse interpolation; a dedicated
-    exact-Siddon kernel is future work.
-    """
-    from . import xla
 
-    kwargs.pop("det_shape", None)
-    kwargs.pop("window", None)
-    kwargs.pop("interpret", None)
-    kwargs.pop("n_samples", None)
-    return xla.raymarch_siddon(*args, **kwargs)
+def raymarch_siddon_pallas(
+    density: jnp.ndarray,
+    affine_inverse: jnp.ndarray,
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    mask=None,
+    labels=None,
+    det_shape: tuple[int, int] | None = None,
+    window: int = 32,
+    interpret: bool | None = None,
+    perm: tuple[int, int, int] | None = None,
+    packed=None,
+) -> jnp.ndarray:
+    """Exact Siddon fast path (forward only — no pose gradients; the XLA DDA
+    remains the differentiable reference). Labelmap channel rendering falls
+    back to the XLA path. Exact within the bf16 volume quantization while
+    rays stay within ~45 degrees of the march axis."""
+    if mask is not None and labels is not None:
+        from . import xla
+
+        return xla.raymarch_siddon(
+            density, affine_inverse, source, target, mask=mask, labels=labels
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    B, R = target.shape[0], target.shape[1]
+    if det_shape is None:
+        side = int(round(np.sqrt(R)))
+        if side * side != R:
+            raise ValueError("det_shape required for non-square ray grids")
+        det_shape = (side, side)
+
+    A = affine_inverse
+    s_vox = source @ A[:3, :3].T + A[:3, 3]
+    t_vox = target @ A[:3, :3].T + A[:3, 3]
+    s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
+    d_vox = t_vox - s_vox
+    raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)
+
+    if perm is None:
+        d_mean = np.asarray(jax.device_get(jnp.mean(d_vox, axis=(0, 1))))
+        perm = _choose_permutation(d_mean)
+    march, win, lane = perm
+    if packed is None:
+        packed, vol_shape = pack_density(density, perm)
+    else:
+        packed, vol_shape = packed
+
+    s_p = jnp.stack([s_vox[..., march], s_vox[..., win], s_vox[..., lane]], axis=-1)
+    d_p = jnp.stack([d_vox[..., march], d_vox[..., win], d_vox[..., lane]], axis=-1)
+    wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
+
+    window = min(int(window), int(vol_shape[1]))
+    return _render_siddon(
+        packed, s_p, d_p, wscale,
+        det_shape=det_shape,
+        vol_shape=vol_shape,
+        window=window,
+        perm=perm,
+        interpret=bool(interpret),
+    )

@@ -234,6 +234,10 @@ class Projector:
                 return raymarch_siddon_pallas(
                     density, self.affine_inverse, source, target,
                     mask=mask, labels=labels,
+                    det_shape=(self.detector.height, self.detector.width),
+                    window=self.pallas_window,
+                    perm=self.pallas_perm,
+                    packed=packed,
                 )
             return xla.raymarch_siddon(
                 density, self.affine_inverse, source, target, mask=mask, labels=labels,
