@@ -182,6 +182,61 @@ def test_projector_with_pallas():
     assert np.abs(out - ref).max() / ref.max() < 0.05
 
 
+def test_measured_window_span_guards_clipping():
+    from xvr_tpu.render.pallas import measured_window_span, pack_density
+
+    vol = make_test_volume(32, spacing=2.0, kind="gradient")
+    det = Detector(sdd=400.0, height=16, width=16, delx=4.0, dely=4.0)
+    # a strong in-plane roll leaks the detector-column direction into the
+    # window axis -> wide per-tile spans
+    pose = pose_at([8.0, 0.0, 25.0], [0.0, 200.0, 0.0])
+    src, tgt = det.rays(pose)
+    perm = (1, 0, 2)
+    _, vol_shape = pack_density(vol.data, perm)
+    span = measured_window_span(
+        np.asarray(src), np.asarray(tgt), np.asarray(vol.affine_inverse),
+        perm, (16, 16), vol_shape,
+    )
+    assert span > 10.0  # geometry chosen so a window of 8 must clip
+    w_ok = int(-(-span // 8) * 8)
+
+    ref = np.asarray(raymarch_trilinear(vol.data, vol.affine_inverse, src, tgt, n_samples=1024))
+    ok = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=w_ok, perm=perm))
+    assert np.abs(ok - ref).max() / ref.max() < 0.03
+
+    clipped = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=8, perm=perm))
+    assert clipped.mean() < 0.98 * ref.mean()  # the failure mode the guard exists for
+
+
+def test_projector_auto_window_and_steepness_fallback():
+    from xvr_tpu.render import Projector
+
+    vol = make_test_volume(32, spacing=2.0, kind="gradient")
+    proj = Projector.from_volume(vol, sdd=400.0, height=16, delx=4.0)
+    pose = pose_at([180.0 + 10.0, 0.0, 20.0], [0.0, 200.0, 0.0])
+
+    pp = proj.with_pallas(pose)  # window=None -> exact measurement
+    assert pp.renderer == "trilinear_pallas"
+    assert pp.pallas_window >= 8
+    out = np.asarray(pp(pose))
+    # the measured window must capture EVERY contribution a full-width
+    # window would (corner-graze quadrature differences vs the XLA model are
+    # a separate, window-independent property)
+    full = np.asarray(pp.replace(pallas_window=32)(pose))
+    np.testing.assert_array_equal(out, full)
+    ref = np.asarray(proj.replace(n_samples=2048)(pose))  # high-res golden
+    assert out.mean() > 0.9 * ref.mean()
+
+    # beam at 45 deg between two volume axes plus a wide detector FOV: corner
+    # rays exceed the kernel's regime, with_pallas must keep the XLA renderer
+    wide = Projector.from_volume(vol, sdd=400.0, height=16, delx=12.0)
+    diag = pose_at([180.0 + 45.0, 0.0, 0.0], [0.0, 200.0, 0.0])
+    kept = wide.with_pallas(diag)
+    assert kept.renderer == "trilinear"
+
+
 def test_siddon_pallas_matches_xla_exactly():
     from xvr_tpu.render.pallas import raymarch_siddon_pallas
 

@@ -54,6 +54,26 @@ def _parse_scales(scales: list[str] | str, crop: int, height: int) -> list[float
     return [float(x) * height / (height + crop) for x in scales]
 
 
+def _drift_probes(pose: RigidTransform, rot_deg: float = 15.0, t_mm: float = 30.0) -> RigidTransform:
+    """Probe poses covering where the optimizer can take ``pose`` within a
+    stage: camera-frame rotation corners (+-rot_deg about every axis) at
+    translation pushes of +-t_mm. Used to size the Pallas window so drift
+    during the stage cannot clip the render."""
+    rots, xyzs = [], []
+    for sa in (-1.0, 1.0):
+        for sb in (-1.0, 1.0):
+            for sg in (-1.0, 1.0):
+                for st in (-1.0, 1.0):
+                    rots.append([sa * rot_deg, sb * rot_deg, sg * rot_deg])
+                    xyzs.append([st * t_mm] * 3)
+    dev = convert(
+        jnp.asarray(rots, jnp.float32), jnp.asarray(xyzs, jnp.float32),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    mat = pose.matrix.reshape(-1, 4, 4)[:1]
+    return RigidTransform(mat @ dev.matrix)
+
+
 class RegistrarBase:
     """Shared machinery for all initial-pose strategies (base.py:20)."""
 
@@ -267,7 +287,21 @@ class RegistrarBase:
         final_ncc = None
         for stage_idx, (scale, n_itr) in enumerate(zip(scales, self.n_itrs), start=1):
             proj = self.projector.rescale_detector(scale)
-            key = (proj.detector, proj.renderer, proj.pallas_perm, n_itr, imagesim_cfg)
+            if proj.renderer == "trilinear_pallas":
+                # exact Pallas window for THIS stage's detector, measured over
+                # the current pose plus the drift the optimizer may apply —
+                # an undersized window silently clips ray contributions.
+                # quantum=16 keeps the compile cache warm across X-rays.
+                pose_now = convert(
+                    rot, xyz, parameterization=self.parameterization,
+                    convention=self.convention,
+                )
+                window = proj.measure_window(_drift_probes(pose_now), quantum=16)
+                proj = proj.replace(pallas_window=window)
+            key = (
+                proj.detector, proj.renderer, proj.pallas_perm,
+                proj.pallas_window, n_itr, imagesim_cfg,
+            )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
             stage_fn, transform = self._stage_cache[key]
@@ -324,7 +358,15 @@ class RegistrarBase:
             and jax.default_backend() == "tpu"
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
-            self.projector = self.projector.with_pallas(init_pose, window=48)
+            # decide march axis + check the 45deg regime on the coarsest stage
+            # (cheap rays); exact windows are re-measured per pyramid stage
+            coarse = self.projector.rescale_detector(scales[0]).with_pallas(init_pose)
+            if coarse.renderer == "trilinear_pallas":
+                self.projector = self.projector.replace(
+                    renderer="trilinear_pallas",
+                    pallas_perm=coarse.pallas_perm,
+                    pallas_window=coarse.pallas_window,
+                )
 
         if self.init_only:
             proj = self.projector.rescale_detector(scales[0])

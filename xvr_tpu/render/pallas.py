@@ -810,6 +810,87 @@ def choose_permutation_for_pose(pose_R: np.ndarray, affine_inverse: np.ndarray) 
     return _choose_permutation(beam_vox, u_vox)
 
 
+def measured_window_span(
+    source: np.ndarray,
+    target: np.ndarray,
+    affine_inverse: np.ndarray,
+    perm: tuple[int, int, int],
+    det_shape: tuple[int, int],
+    vol_shape: tuple[int, int, int],
+    n_probe_slabs: int = 9,
+) -> float:
+    """EXACT per-tile window-coordinate span (voxels) for given rays.
+
+    Host-side NumPy: evaluates the window coordinate of every VALID ray (one
+    whose in-volume segment covers the probe slab) at probe march planes and
+    takes the worst tile max - tile min. Use to size (or validate) the static
+    ``window`` — a window smaller than this silently clips contributions.
+    ``vol_shape`` is the PERMUTED volume shape (march, window, lane), i.e.
+    ``pack_density(...)[1]``.
+    """
+    Hd, Wdet = det_shape
+    M, Wd, L = vol_shape
+    A = np.asarray(affine_inverse)
+    s = np.asarray(source) @ A[:3, :3].T + A[:3, 3]
+    t = np.asarray(target) @ A[:3, :3].T + A[:3, 3]
+    s = np.broadcast_to(s, t.shape)
+    d = t - s
+    march, win, lane = perm
+    s0, s1, s2 = s[..., march], s[..., win], s[..., lane]
+    d0, d1, d2 = d[..., march], d[..., win], d[..., lane]
+    safe_d0 = np.where(np.abs(d0) < 1e-6, 1e-6, d0)
+
+    B = t.shape[0]
+    span = 0.0
+    # probe march planes spanning the volume's march extent
+    m_lo = max(float(np.minimum(s0, s0 + d0).min()), 0.0)
+    m_hi = min(float(np.maximum(s0, s0 + d0).max()), float(M - 1))
+    for m in np.linspace(m_lo, m_hi, n_probe_slabs):
+        alpha = (m - s0) / safe_d0
+        p1 = s1 + alpha * d1
+        p2 = s2 + alpha * d2
+        # the kernel only windows rays it treats as valid at this slab
+        valid = (alpha >= 0.0) & (alpha <= 1.0)
+        valid &= (p1 > -1.0) & (p1 < Wd) & (p2 >= 0.0) & (p2 <= L - 1.0)
+        p1 = p1.reshape(B, Hd, Wdet)
+        valid = valid.reshape(B, Hd, Wdet)
+        p1_lo = np.where(valid, p1, np.inf)
+        p1_hi = np.where(valid, p1, -np.inf)
+        # tile reduction: 8-row x 128-col tiles (the kernel's grid)
+        for i0 in range(0, max(Hd - SUB, 0) + 1, SUB):
+            for j0 in range(0, Wdet, LANE):
+                lo = np.min(p1_lo[:, i0 : i0 + SUB, j0 : j0 + LANE], axis=(1, 2))
+                hi = np.max(p1_hi[:, i0 : i0 + SUB, j0 : j0 + LANE], axis=(1, 2))
+                tile_span = float(np.max(hi - lo))  # -inf when tile all-invalid
+                if np.isfinite(tile_span):
+                    span = max(span, tile_span)
+    return span + 2.0  # + interpolation margin
+
+
+def measured_steepness(
+    source: np.ndarray,
+    target: np.ndarray,
+    affine_inverse: np.ndarray,
+    perm: tuple[int, int, int],
+) -> float:
+    """max over rays of max(|d_win|, |d_lane|) / |d_march|.
+
+    The slab-marching kernels assume rays stay within ~45 degrees of the
+    march axis (steepness <= ~1): beyond that the trilinear kernel
+    undersamples (one sample per march plane) and the Siddon kernel's
+    <=1-crossing-per-slab invariant breaks. Callers should fall back to the
+    XLA renderer when this exceeds ~1.2.
+    """
+    A = np.asarray(affine_inverse)
+    s = np.asarray(source) @ A[:3, :3].T + A[:3, 3]
+    t = np.asarray(target) @ A[:3, :3].T + A[:3, 3]
+    d = t - np.broadcast_to(s, t.shape)
+    march, win, lane = perm
+    d0 = np.maximum(np.abs(d[..., march]), 1e-9)
+    trans = np.maximum(np.abs(d[..., win]), np.abs(d[..., lane]))
+    return float((trans / d0).max())
+
+
 def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:
     """Estimated per-tile window-coordinate span (voxels) — used to pick the
     static window size or fall back to the XLA renderer."""

@@ -25,6 +25,12 @@ from . import xla
 from .volume import Volume, transform_hu_to_density
 
 
+def _batched(pose: RigidTransform) -> RigidTransform:
+    if pose.matrix.ndim == 2:
+        return RigidTransform(pose.matrix[None])
+    return pose
+
+
 def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTransform:
     """Camera-frame pre-rotation for anatomical orientation.
 
@@ -138,11 +144,26 @@ class Projector:
         """Functional ``rescale_detector_`` (registrar/base.py:212)."""
         return self.replace(detector=self.detector.rescale(scale))
 
-    def with_pallas(self, reference_pose=None, window: int | None = None) -> "Projector":
+    def with_pallas(
+        self,
+        reference_pose=None,
+        window: int | None = None,
+        probe_poses=None,
+    ) -> "Projector":
         """Switch the trilinear renderer to the Pallas TPU fast path, fixing
         the kernel's volume-axis permutation from a representative pose so the
-        render stays jit-traceable."""
-        from .pallas import choose_permutation_for_pose
+        render stays jit-traceable.
+
+        When ``window`` is None, the kernel's static transverse window is
+        sized EXACTLY from the probe poses (``probe_poses`` if given, else the
+        reference pose) via :func:`~xvr_tpu.render.pallas.measured_window_span`
+        — an undersized window silently clips ray contributions, so callers
+        that render at poses away from the probes must include representative
+        extremes in ``probe_poses``. If the probe rays deviate more than ~45
+        degrees from the march axis the kernel model breaks; this returns
+        ``self`` unchanged (XLA path) in that case.
+        """
+        from .pallas import choose_permutation_for_pose, measured_steepness
 
         import numpy as np
 
@@ -155,11 +176,57 @@ class Projector:
                 jax.device_get(orientation_transform(self.volume.orientation).R)
             )
         perm = choose_permutation_for_pose(R, np.asarray(jax.device_get(self.affine_inverse)))
-        return self.replace(
+        proj = self.replace(
             renderer="trilinear_pallas",
             pallas_perm=perm,
             pallas_window=int(window) if window is not None else self.pallas_window,
         )
+        probes = probe_poses if probe_poses is not None else reference_pose
+        if probes is not None:
+            src, tgt = proj.rays(_batched(probes))
+            args = (
+                np.asarray(jax.device_get(src)),
+                np.asarray(jax.device_get(tgt)),
+                np.asarray(jax.device_get(proj.affine_inverse)),
+                perm,
+            )
+            if measured_steepness(*args) > 1.2:
+                print(
+                    "with_pallas: rays exceed 45deg of the march axis; "
+                    "keeping the XLA renderer",
+                    flush=True,
+                )
+                return self
+            if window is None:
+                proj = proj.replace(pallas_window=proj.measure_window(probes))
+        return proj
+
+    def measure_window(self, poses, quantum: int = 8) -> int:
+        """Exact Pallas window for ``poses`` (see measured_window_span),
+        rounded up to a multiple of ``quantum`` (coarser quanta improve
+        compile-cache reuse when windows are re-measured per stage)."""
+        from .pallas import measured_window_span
+
+        import numpy as np
+
+        if self.pallas_perm is None:
+            raise ValueError("measure_window requires pallas_perm (use with_pallas)")
+        src, tgt = self.rays(_batched(poses))
+        vol_shape = tuple(int(self.density.shape[a]) for a in self.pallas_perm)
+        span = measured_window_span(
+            np.asarray(jax.device_get(src)),
+            np.asarray(jax.device_get(tgt)),
+            np.asarray(jax.device_get(self.affine_inverse)),
+            self.pallas_perm,
+            (self.detector.height, self.detector.width),
+            vol_shape,
+        )
+        # the Siddon/channel kernels align the window base down to a multiple
+        # of 8 sublanes, which can cost up to 7 extra rows of reach
+        if self.renderer == "siddon_pallas" or self.labels is not None:
+            span += 7.0
+        window = int(-(-max(span, 1.0) // quantum) * quantum)
+        return min(window, int(vol_shape[1]))
 
     # -- geometry passthrough ------------------------------------------------
     @property

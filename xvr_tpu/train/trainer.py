@@ -173,17 +173,41 @@ class Trainer:
                   (gammamin + gammamax) / 2]], jnp.float32
             )
             ref = _convert(mean_rot, jnp.zeros((1, 3)), "euler_angles", "ZXY", degrees=True)
-            # Window span model: the window axis picks up the detector ROW
-            # direction (8 sublanes, amplified by the beta tilt) plus the
-            # column direction leaking through the in-plane roll gamma.
-            spacing = float(np.min(np.asarray(self.volumes[0].spacing)))
-            footprint = delx * ((tymin + tymax) / 2 / sdd) / spacing  # vox/px
-            beta_dev = np.deg2rad(min((betamax - betamin) / 2, 60.0))
-            gamma_dev = np.deg2rad(min((gammamax - gammamin) / 2, 60.0))
-            span = footprint * (8.0 * (1.0 + np.tan(beta_dev)) + 128.0 * np.sin(gamma_dev))
-            window = int(np.clip(8 * round((span + 8.0) / 8), 16, 96))
-            self.projectors = [p.with_pallas(ref, window=window) for p in self.projectors]
-            print(f"Using Pallas trilinear kernel (window={window})", flush=True)
+            # Exact window sizing: measure the per-tile transverse span at the
+            # CORNERS of the sampling ranges (rotation x translation extremes)
+            # — the worst-case tiles live there, and an undersized window
+            # silently clips ray contributions.
+            rot_corners = [
+                [a, b, g]
+                for a in (alphamin, alphamax)
+                for b in (betamin, betamax)
+                for g in (gammamin, gammamax)
+            ]
+            t_corners = [
+                [txmin, tymin, tzmin], [txmax, tymin, tzmax],
+                [txmin, tymax, tzmax], [txmax, tymax, tzmin],
+            ]
+            rots = jnp.asarray(
+                [rc for rc in rot_corners for _ in t_corners], jnp.float32
+            )
+            xyzs = jnp.asarray(t_corners * len(rot_corners), jnp.float32)
+            probes = _convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
+            upgraded = [p.with_pallas(ref, probe_poses=probes) for p in self.projectors]
+            perms = {p.pallas_perm for p in upgraded}
+            if all(p.renderer == "trilinear_pallas" for p in upgraded) and len(perms) == 1:
+                # one compiled step serves every subject: the Pallas metadata
+                # (static) must be identical, so take the worst-case window
+                window = max(p.pallas_window for p in upgraded)
+                self.projectors = [p.replace(pallas_window=window) for p in upgraded]
+                print(
+                    f"Using Pallas trilinear kernel (measured window={window})",
+                    flush=True,
+                )
+            elif len(perms) > 1:
+                print(
+                    "Pallas disabled: subjects disagree on the march-axis "
+                    f"permutation {sorted(perms)}", flush=True,
+                )
 
         # ---- model ----
         import os as _os2
