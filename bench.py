@@ -57,11 +57,49 @@ def main():
         tymin=500.0, tymax=800.0, tzmin=-30.0, tzmax=30.0,
     )
 
-    from xvr_tpu.render.pallas import choose_permutation_for_pose, pack_density
+    from xvr_tpu.render.pallas import (
+        choose_permutation_for_pose,
+        measured_window_span,
+        pack_density,
+    )
 
     perm = choose_permutation_for_pose(np.eye(3), np.asarray(affinv))
     packed = pack_density(density, perm)  # once per volume
     jax.block_until_ready(packed[0])
+
+    # EXACT windows for the pose distribution (corner poses), per ray layout;
+    # an undersized window silently clips, so the bench must use measured
+    # values, not guesses
+    corners = [
+        [a, b, g]
+        for a in (ranges["alphamin"], ranges["alphamax"])
+        for b in (ranges["betamin"], ranges["betamax"])
+        for g in (ranges["gammamin"], ranges["gammamax"])
+    ]
+    t_corners = [
+        [ranges["txmin"], ranges["tymin"], ranges["tzmin"]],
+        [ranges["txmax"], ranges["tymin"], ranges["tzmax"]],
+        [ranges["txmin"], ranges["tymax"], ranges["tzmax"]],
+        [ranges["txmax"], ranges["tymax"], ranges["tzmin"]],
+    ]
+    from xvr_tpu.geometry import convert
+
+    probe = convert(
+        np.asarray([r for r in corners for _ in t_corners], np.float32),
+        np.asarray(t_corners * len(corners), np.float32),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    psrc, ptgt = det.rays(probe)
+    vol_shape = tuple(int(density.shape[a]) for a in perm)
+    margs = (np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm, (H, H), vol_shape)
+    span_det = measured_window_span(*margs)
+    span_remap = measured_window_span(*margs, remap=True)
+    w_det = int(-(-span_det // 8) * 8)
+    w_remap = int(-(-span_remap // 8) * 8)
+    remap = w_remap + 8 < w_det
+    window = w_remap if remap else w_det
+    log(f"measured windows: detector-tiles {w_det}, sorted-remap {w_remap} -> "
+        f"remap={remap}, window={window}")
 
     @jax.jit
     def render_trilinear(density, key):
@@ -70,7 +108,8 @@ def main():
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_trilinear_pallas(
-            density, affinv, src, tgt, window=40, perm=perm, packed=packed
+            density, affinv, src, tgt, window=window, perm=perm, packed=packed,
+            remap=remap,
         )
 
     @jax.jit
@@ -78,7 +117,8 @@ def main():
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_siddon_pallas(
-            density, affinv, src, tgt, window=40, perm=perm, packed=packed
+            density, affinv, src, tgt, window=window + 8, perm=perm, packed=packed,
+            remap=remap,
         )
 
     def bench(fn, name, n_iter=30):
@@ -114,6 +154,8 @@ def main():
                     "volume": [N, N, N],
                     "detector": [H, H],
                     "n_samples": S,
+                    "window": window,
+                    "remap": bool(remap),
                 },
             }
         )

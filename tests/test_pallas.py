@@ -237,6 +237,96 @@ def test_projector_auto_window_and_steepness_fallback():
     assert kept.renderer == "trilinear"
 
 
+def test_remap_is_exact_permutation():
+    # sorted-ray layout + unsort must reproduce the detector layout EXACTLY
+    # (same kernel math per ray, different grouping)
+    vol = make_test_volume(32, spacing=2.0, kind="random")
+    det = Detector(sdd=400.0, height=16, width=16, delx=4.0, dely=4.0)
+    pose = pose_at([8.0, -4.0, 20.0], [3.0, 200.0, -4.0])
+    src, tgt = det.rays(pose)
+    base = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=32, perm=(1, 0, 2)))
+    remapped = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=32, perm=(1, 0, 2), remap=True))
+    np.testing.assert_allclose(remapped, base, rtol=1e-6, atol=1e-5)
+
+    from xvr_tpu.render.pallas import raymarch_siddon_pallas
+
+    base_s = np.asarray(raymarch_siddon_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=32, perm=(1, 0, 2)))
+    remap_s = np.asarray(raymarch_siddon_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=32, perm=(1, 0, 2), remap=True))
+    np.testing.assert_allclose(remap_s, base_s, rtol=1e-6, atol=1e-5)
+
+
+def test_remap_shrinks_window_on_large_detectors():
+    # bench-scale geometry, measurement only (no rendering): under in-plane
+    # roll the sorted layout must need a much smaller window than detector
+    # tiling. Small detectors (~1 tile) gain nothing — tuned_for() picks.
+    from xvr_tpu.render.pallas import measured_window_span
+
+    N = 256
+    aff = np.eye(4, dtype=np.float32) * 1.5
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(N - 1) / 2.0 * 1.5
+    affinv = np.linalg.inv(aff)
+    det = Detector(sdd=1020.0, height=256, width=256, delx=2.0, dely=2.0)
+    pose = pose_at([10.0, -5.0, 12.0], [0.0, 650.0, 0.0])
+    src, tgt = det.rays(pose)
+    # march=y (beam), lane=x (detector columns), window=z (rows)
+    perm = (1, 2, 0)
+    args = (np.asarray(src), np.asarray(tgt), affinv, perm, (256, 256), (N, N, N))
+    span_det = measured_window_span(*args)
+    span_remap = measured_window_span(*args, remap=True)
+    assert span_remap < 0.6 * span_det, (span_remap, span_det)
+
+
+def test_remap_measured_window_stays_unclipped():
+    from xvr_tpu.render.pallas import measured_window_span, pack_density
+
+    vol = make_test_volume(32, spacing=2.0, kind="gradient")
+    det = Detector(sdd=400.0, height=16, width=16, delx=4.0, dely=4.0)
+    pose = pose_at([8.0, 0.0, 25.0], [0.0, 200.0, 0.0])  # strong roll
+    src, tgt = det.rays(pose)
+    perm = (1, 0, 2)
+    _, vol_shape = pack_density(vol.data, perm)
+    span_remap = measured_window_span(
+        np.asarray(src), np.asarray(tgt), np.asarray(vol.affine_inverse),
+        perm, (16, 16), vol_shape, remap=True,
+    )
+    w = int(-(-span_remap // 8) * 8)
+    full = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=32, perm=perm, remap=True))
+    tight = np.asarray(raymarch_trilinear_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=w, perm=perm, remap=True))
+    np.testing.assert_array_equal(tight, full)
+
+
+def test_remap_gradients_match_finite_differences():
+    vol = make_test_volume(16, spacing=2.0, kind="gradient")
+    det = Detector(sdd=400.0, height=8, width=8, delx=4.0, dely=4.0)
+
+    def loss(params):
+        alpha, ty, tz = params
+        rot = jnp.stack([alpha, jnp.zeros(()), jnp.zeros(())])[None]
+        xyz = jnp.stack([jnp.zeros(()), ty, tz])[None]
+        pose = convert(rot, xyz, "euler_angles", "ZXY")
+        src, tgt = det.rays(pose)
+        img = raymarch_trilinear_pallas(
+            vol.data, vol.affine_inverse, src, tgt, window=16, perm=(1, 0, 2),
+            remap=True,
+        )
+        return jnp.sum(img**2)
+
+    p = jnp.array([0.02, 200.0, 1.5])
+    g = np.asarray(jax.grad(loss)(p))
+    eps = [1e-4, 1e-2, 1e-2]
+    for k in range(3):
+        e = jnp.zeros(3).at[k].set(eps[k])
+        fd = float((loss(p + e) - loss(p - e)) / (2 * eps[k]))
+        assert abs(g[k] - fd) / (abs(fd) + 1e-3) < 0.02, (k, g[k], fd)
+
+
 def test_siddon_pallas_matches_xla_exactly():
     from xvr_tpu.render.pallas import raymarch_siddon_pallas
 

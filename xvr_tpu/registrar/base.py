@@ -288,19 +288,19 @@ class RegistrarBase:
         for stage_idx, (scale, n_itr) in enumerate(zip(scales, self.n_itrs), start=1):
             proj = self.projector.rescale_detector(scale)
             if proj.renderer == "trilinear_pallas":
-                # exact Pallas window for THIS stage's detector, measured over
-                # the current pose plus the drift the optimizer may apply —
-                # an undersized window silently clips ray contributions.
-                # quantum=16 keeps the compile cache warm across X-rays.
+                # exact Pallas window + ray layout for THIS stage's detector,
+                # measured over the current pose plus the drift the optimizer
+                # may apply — an undersized window silently clips ray
+                # contributions. quantum=16 keeps the compile cache warm
+                # across X-rays.
                 pose_now = convert(
                     rot, xyz, parameterization=self.parameterization,
                     convention=self.convention,
                 )
-                window = proj.measure_window(_drift_probes(pose_now), quantum=16)
-                proj = proj.replace(pallas_window=window)
+                proj = proj.tuned_for(_drift_probes(pose_now), quantum=16)
             key = (
                 proj.detector, proj.renderer, proj.pallas_perm,
-                proj.pallas_window, n_itr, imagesim_cfg,
+                proj.pallas_window, proj.pallas_remap, n_itr, imagesim_cfg,
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)

@@ -154,7 +154,14 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
         # skip slabs the tile's frustum never touches
         return jax.lax.cond(jnp.any(valid), compute, lambda a: a, acc)
 
-    acc = jax.lax.fori_loop(0, M, slab, jnp.zeros((SUB, LANE), jnp.float32))
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    # tiles with no live rays (e.g. shear-remap padding) skip the whole march
+    acc = jax.lax.cond(
+        jnp.any(ws > 0.0),
+        lambda _: jax.lax.fori_loop(0, M, slab, zero),
+        lambda _: zero,
+        None,
+    )
     out[0] = acc * ws
 
 
@@ -265,7 +272,13 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
 
         return jax.lax.cond(jnp.any(valid), compute, lambda a: a, acc)
 
-    acc = jax.lax.fori_loop(0, M, slab, jnp.zeros((SUB, LANE), jnp.float32))
+    zero = jnp.zeros((SUB, LANE), jnp.float32)
+    acc = jax.lax.cond(
+        jnp.any(ws > 0.0),
+        lambda _: jax.lax.fori_loop(0, M, slab, zero),
+        lambda _: zero,
+        None,
+    )
     out[0] = acc * ws * abs_d0  # alpha-lengths * raylen
 
 
@@ -371,7 +384,12 @@ def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
         return jax.lax.cond(jnp.any(valid), compute, lambda a: a, accs)
 
     init = tuple(jnp.zeros((SUB, LANE), jnp.float32) for _ in range(C))
-    accs = jax.lax.fori_loop(0, M, slab, init)
+    accs = jax.lax.cond(
+        jnp.any(ws > 0.0),
+        lambda _: jax.lax.fori_loop(0, M, slab, init),
+        lambda _: init,
+        None,
+    )
     for k in range(C):
         outs[k][0] = accs[k] * ws
 
@@ -568,7 +586,12 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
         return (acc, g0, g1_, g2_, g3_, g4_, g5_)
 
     init = tuple(jnp.zeros((SUB, LANE), jnp.float32) for _ in range(7))
-    acc, g0, g1_, g2_, g3_, g4_, g5_ = jax.lax.fori_loop(0, M, slab, init)
+    acc, g0, g1_, g2_, g3_, g4_, g5_ = jax.lax.cond(
+        jnp.any(ws > 0.0),
+        lambda _: jax.lax.fori_loop(0, M, slab, init),
+        lambda _: init,
+        None,
+    )
     gs0[0] = g0
     gs1[0] = g1_
     gs2[0] = g2_
@@ -810,6 +833,16 @@ def choose_permutation_for_pose(pose_R: np.ndarray, affine_inverse: np.ndarray) 
     return _choose_permutation(beam_vox, u_vox)
 
 
+def _remap_key(s0, s1, d0, d1, M, xp=jnp):
+    """Sort key for ray remapping: the window coordinate at the mid-march
+    plane. Grouping rays by this key (instead of detector adjacency) shrinks
+    the per-tile window span ~3x under in-plane roll/skew; the kernel is
+    layout-agnostic, so only the wrapper reorders."""
+    safe_d0 = xp.where(xp.abs(d0) < 1e-6, 1e-6, d0)
+    alpha = (0.5 * (M - 1) - s0) / safe_d0
+    return s1 + alpha * d1
+
+
 def measured_window_span(
     source: np.ndarray,
     target: np.ndarray,
@@ -818,6 +851,7 @@ def measured_window_span(
     det_shape: tuple[int, int],
     vol_shape: tuple[int, int, int],
     n_probe_slabs: int = 9,
+    remap: bool = False,
 ) -> float:
     """EXACT per-tile window-coordinate span (voxels) for given rays.
 
@@ -841,6 +875,19 @@ def measured_window_span(
     safe_d0 = np.where(np.abs(d0) < 1e-6, 1e-6, d0)
 
     B = t.shape[0]
+    shift = None
+    if remap:
+        # replicate the render-time shear exactly (f32 arithmetic; residual
+        # rounding differences are covered by the +2 margin)
+        shift = _shear_shift(
+            s0.reshape(B, -1).astype(np.float32),
+            s1.reshape(B, -1).astype(np.float32),
+            d0.reshape(B, -1).astype(np.float32),
+            d1.reshape(B, -1).astype(np.float32),
+            M, det_shape, xp=np,
+        )
+        shift = np.clip(shift, 0, _shear_pad(det_shape))
+
     span = 0.0
     # probe march planes spanning the volume's march extent
     m_lo = max(float(np.minimum(s0, s0 + d0).min()), 0.0)
@@ -852,12 +899,23 @@ def measured_window_span(
         # the kernel only windows rays it treats as valid at this slab
         valid = (alpha >= 0.0) & (alpha <= 1.0)
         valid &= (p1 > -1.0) & (p1 < Wd) & (p2 >= 0.0) & (p2 <= L - 1.0)
-        p1 = p1.reshape(B, Hd, Wdet)
-        valid = valid.reshape(B, Hd, Wdet)
-        p1_lo = np.where(valid, p1, np.inf)
-        p1_hi = np.where(valid, p1, -np.inf)
+        p1_lo = np.where(valid, p1, np.inf).reshape(B, Hd, Wdet)
+        p1_hi = np.where(valid, p1, -np.inf).reshape(B, Hd, Wdet)
+        if shift is not None:
+            pad = _shear_pad(det_shape)
+            Hp = Hd + pad
+            r = np.arange(Hd)[:, None] + shift[:, None, :]  # (B, Hd, Wdet)
+            c = np.broadcast_to(np.arange(Wdet), (B, Hd, Wdet))
+            b_ix = np.arange(B)[:, None, None]
+            lo_img = np.full((B, Hp, Wdet), np.inf)
+            hi_img = np.full((B, Hp, Wdet), -np.inf)
+            lo_img[b_ix, r, c] = p1_lo
+            hi_img[b_ix, r, c] = p1_hi
+            p1_lo, p1_hi, rows = lo_img, hi_img, Hp
+        else:
+            rows = Hd
         # tile reduction: 8-row x 128-col tiles (the kernel's grid)
-        for i0 in range(0, max(Hd - SUB, 0) + 1, SUB):
+        for i0 in range(0, rows, SUB):
             for j0 in range(0, Wdet, LANE):
                 lo = np.min(p1_lo[:, i0 : i0 + SUB, j0 : j0 + LANE], axis=(1, 2))
                 hi = np.max(p1_hi[:, i0 : i0 + SUB, j0 : j0 + LANE], axis=(1, 2))
@@ -909,6 +967,76 @@ def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:
     return float(row_d * SUB + col_d * LANE) * 1.2 + 4.0
 
 
+def _shear_pad(det_shape: tuple[int, int]) -> int:
+    """Static row padding for the shear remap: covers per-column shifts up to
+    Wdet/2 (in-plane roll ~26 deg). Larger shifts are clipped — the window
+    measurement replicates the clipping, so a too-small pad only costs window
+    size, never correctness. The padded rows cost little: their tiles have no
+    valid rays, so every slab takes the kernel's skip branch."""
+    return -(-(det_shape[1] // 2) // SUB) * SUB
+
+
+def _shear_shift(s0, s1, d0, d1, M, det_shape, xp=jnp):
+    """Per-column row shift (B, Wdet) that flattens the window coordinate.
+
+    The mid-march window coordinate is ~affine over the detector grid,
+    key ~ g_r*row + g_c*col; placing ray (r, c) at row r + round(g_c/g_r * c)
+    cancels the column term, so an 8x128 tile's span drops from
+    |g_r|*8 + |g_c|*128 to ~|g_r|*9. Slopes are median-estimated on a coarse
+    subgrid (robust to edge rays with degenerate direction)."""
+    Hd, Wdet = det_shape
+    B = s0.shape[0]
+    key = _remap_key(s0, s1, d0, d1, M, xp=xp).reshape(B, Hd, Wdet)
+    sub = key[:, ::4, ::4]
+    g_r = xp.median((sub[:, 1:] - sub[:, :-1]).reshape(B, -1), axis=1) / 4.0
+    g_c = xp.median((sub[:, :, 1:] - sub[:, :, :-1]).reshape(B, -1), axis=1) / 4.0
+    safe = xp.where(xp.abs(g_r) < 1e-9, 1e-9, g_r)
+    ratio = g_c / safe
+    cols = xp.arange(Wdet, dtype=key.dtype)
+    shift = xp.round(ratio[:, None] * cols[None, :])
+    shift = shift - shift.min(axis=1, keepdims=True)
+    return shift.astype(xp.int32)
+
+
+def _barrel_shear(x, shift, pad, Hd, reverse=False):
+    """Shift each column's rows down by ``shift`` (clipped to ``pad``) via a
+    log-step barrel shifter: O(log pad) rolls + selects, no sorts/gathers
+    (XLA sort/gather cost ~50 ms per 1M rays on v5e; this costs ~1 ms).
+
+    Forward: (B, Hd, W[, k]) -> (B, Hd+pad, W[, k]) with zero fill (zero
+    wscale marks the empty slots invalid). Reverse: crops back to Hd rows."""
+    sh = jnp.clip(shift, 0, pad)
+    if not reverse:
+        pads = [(0, 0), (0, pad), (0, 0)] + [(0, 0)] * (x.ndim - 3)
+        x = jnp.pad(x, pads)
+    mask_shape = (x.shape[0], 1, x.shape[2]) + (1,) * (x.ndim - 3)
+    for bit in range(max(int(pad).bit_length(), 1)):
+        amt = 1 << bit
+        rolled = jnp.roll(x, -amt if reverse else amt, axis=1)
+        m = (((sh >> bit) & 1) > 0).reshape(mask_shape)
+        x = jnp.where(m, rolled, x)
+    return x[:, :Hd] if reverse else x
+
+
+def _shear_layout(s_p, d_p, wscale, M, det_shape, pad):
+    """Apply the shear remap to the ray fields.
+
+    Returns sheared fields (flattened back to (B, R')), the per-column shift
+    for the inverse transform, and the enlarged detector shape."""
+    Hd, Wdet = det_shape
+    B = wscale.shape[0]
+    shift = _shear_shift(
+        s_p[..., 0], s_p[..., 1], d_p[..., 0], d_p[..., 1], M, det_shape
+    )
+
+    def go(x):
+        img = x.reshape((B, Hd, Wdet) + x.shape[2:])
+        out = _barrel_shear(img, shift, pad, Hd)
+        return out.reshape((B, (Hd + pad) * Wdet) + x.shape[2:])
+
+    return go(s_p), go(d_p), go(wscale), shift, (Hd + pad, Wdet)
+
+
 def raymarch_trilinear_pallas(
     density: jnp.ndarray,
     affine_inverse: jnp.ndarray,
@@ -922,6 +1050,7 @@ def raymarch_trilinear_pallas(
     interpret: bool | None = None,
     perm: tuple[int, int, int] | None = None,
     packed=None,  # optional (packed_table, vol_shape) from pack_density
+    remap: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear`.
 
@@ -965,9 +1094,15 @@ def raymarch_trilinear_pallas(
 
     # a window >= the transverse extent can never clip; cap the cost there
     window = min(int(window), int(vol_shape[1]))
+    Hd0, Wd0 = det_shape
+    pad = _shear_pad(det_shape) if remap else 0
     if use_channels:
         label_table = pack_labels(mask, perm)
-        return _render_channels(
+        if remap:
+            s_p, d_p, wscale, shift, det_shape = _shear_layout(
+                s_p, d_p, wscale, vol_shape[0], det_shape, pad
+            )
+        out = _render_channels(
             packed, label_table, s_p, d_p, wscale,
             det_shape=det_shape,
             vol_shape=vol_shape,
@@ -976,7 +1111,17 @@ def raymarch_trilinear_pallas(
             interpret=bool(interpret),
             channels=tuple(int(x) for x in labels),
         )
-    return _render(
+        if remap:
+            C = out.shape[1]
+            img = out.reshape(B, C, Hd0 + pad, Wd0).transpose(0, 2, 3, 1)
+            img = _barrel_shear(img, shift, pad, Hd0, reverse=True)
+            out = img.transpose(0, 3, 1, 2).reshape(B, C, Hd0 * Wd0)
+        return out
+    if remap:
+        s_p, d_p, wscale, shift, det_shape = _shear_layout(
+            s_p, d_p, wscale, vol_shape[0], det_shape, pad
+        )
+    out = _render(
         packed, s_p, d_p, wscale,
         det_shape=det_shape,
         vol_shape=vol_shape,
@@ -984,6 +1129,10 @@ def raymarch_trilinear_pallas(
         perm=perm,
         interpret=bool(interpret),
     )
+    if remap:
+        img = _barrel_shear(out.reshape(B, Hd0 + pad, Wd0), shift, pad, Hd0, reverse=True)
+        out = img.reshape(B, Hd0 * Wd0)
+    return out
 
 
 def pack_density(density: jnp.ndarray, perm: tuple[int, int, int]):
@@ -1037,6 +1186,7 @@ def raymarch_siddon_pallas(
     interpret: bool | None = None,
     perm: tuple[int, int, int] | None = None,
     packed=None,
+    remap: bool = False,
 ) -> jnp.ndarray:
     """Exact Siddon fast path (forward only — no pose gradients; the XLA DDA
     remains the differentiable reference). Labelmap channel rendering falls
@@ -1079,7 +1229,13 @@ def raymarch_siddon_pallas(
     wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
 
     window = min(int(window), int(vol_shape[1]))
-    return _render_siddon(
+    Hd0, Wd0 = det_shape
+    pad = _shear_pad(det_shape) if remap else 0
+    if remap:
+        s_p, d_p, wscale, shift, det_shape = _shear_layout(
+            s_p, d_p, wscale, vol_shape[0], det_shape, pad
+        )
+    out = _render_siddon(
         packed, s_p, d_p, wscale,
         det_shape=det_shape,
         vol_shape=vol_shape,
@@ -1087,3 +1243,7 @@ def raymarch_siddon_pallas(
         perm=perm,
         interpret=bool(interpret),
     )
+    if remap:
+        img = _barrel_shear(out.reshape(B, Hd0 + pad, Wd0), shift, pad, Hd0, reverse=True)
+        out = img.reshape(B, Hd0 * Wd0)
+    return out

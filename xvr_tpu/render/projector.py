@@ -62,7 +62,7 @@ def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTr
     data_fields=["volume", "density"],
     meta_fields=[
         "detector", "renderer", "labels", "n_samples", "voxel_shift",
-        "pallas_perm", "pallas_window",
+        "pallas_perm", "pallas_window", "pallas_remap",
     ],
 )
 @dataclass(frozen=True)
@@ -79,6 +79,10 @@ class Projector:
     # with_pallas(); None means probe at call time (host-side, not jittable).
     pallas_perm: tuple[int, int, int] | None = None
     pallas_window: int = 32
+    # group rays by their window coordinate instead of detector adjacency
+    # (in-graph argsort + unsort); shrinks the window ~3x under roll/skew on
+    # large detectors. Chosen automatically by tuned_for()/with_pallas().
+    pallas_remap: bool = False
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -198,8 +202,20 @@ class Projector:
                 )
                 return self
             if window is None:
-                proj = proj.replace(pallas_window=proj.measure_window(probes))
+                proj = proj.tuned_for(probes)
         return proj
+
+    def tuned_for(self, poses, quantum: int = 8) -> "Projector":
+        """Re-measure the Pallas window for these poses and pick the cheaper
+        ray layout: detector tiles, or the sorted remap when it shrinks the
+        window by more than the sort/unsort overhead is worth (one quantum).
+        Small detectors (<~1 tile of 1024 rays) never benefit from the remap;
+        large detectors under in-plane roll shrink ~3x."""
+        w_det = self.replace(pallas_remap=False).measure_window(poses, quantum)
+        w_remap = self.replace(pallas_remap=True).measure_window(poses, quantum)
+        if w_remap + quantum < w_det:
+            return self.replace(pallas_window=w_remap, pallas_remap=True)
+        return self.replace(pallas_window=w_det, pallas_remap=False)
 
     def measure_window(self, poses, quantum: int = 8) -> int:
         """Exact Pallas window for ``poses`` (see measured_window_span),
@@ -220,6 +236,7 @@ class Projector:
             self.pallas_perm,
             (self.detector.height, self.detector.width),
             vol_shape,
+            remap=self.pallas_remap,
         )
         # the Siddon/channel kernels align the window base down to a multiple
         # of 8 sublanes, which can cost up to 7 extra rows of reach
@@ -289,6 +306,7 @@ class Projector:
                     window=self.pallas_window,
                     perm=self.pallas_perm,
                     packed=packed,
+                    remap=self.pallas_remap,
                 )
             return xla.raymarch_trilinear(
                 density, self.affine_inverse, source, target,
@@ -305,6 +323,7 @@ class Projector:
                     window=self.pallas_window,
                     perm=self.pallas_perm,
                     packed=packed,
+                    remap=self.pallas_remap,
                 )
             return xla.raymarch_siddon(
                 density, self.affine_inverse, source, target, mask=mask, labels=labels,

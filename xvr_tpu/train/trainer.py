@@ -192,15 +192,33 @@ class Trainer:
             )
             xyzs = jnp.asarray(t_corners * len(rot_corners), jnp.float32)
             probes = _convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
-            upgraded = [p.with_pallas(ref, probe_poses=probes) for p in self.projectors]
+            # window=48 skips per-projector auto-tuning; the step is compiled
+            # ONCE for all subjects, so the layout/window must be unified from
+            # worst-case measurements across every subject below
+            upgraded = [
+                p.with_pallas(ref, probe_poses=probes, window=48)
+                for p in self.projectors
+            ]
             perms = {p.pallas_perm for p in upgraded}
             if all(p.renderer == "trilinear_pallas" for p in upgraded) and len(perms) == 1:
-                # one compiled step serves every subject: the Pallas metadata
-                # (static) must be identical, so take the worst-case window
-                window = max(p.pallas_window for p in upgraded)
-                self.projectors = [p.replace(pallas_window=window) for p in upgraded]
+                w_det = max(
+                    p.replace(pallas_remap=False).measure_window(probes)
+                    for p in upgraded
+                )
+                w_remap = max(
+                    p.replace(pallas_remap=True).measure_window(probes)
+                    for p in upgraded
+                )
+                window, use_remap = (
+                    (w_remap, True) if w_remap + 8 < w_det else (w_det, False)
+                )
+                self.projectors = [
+                    p.replace(pallas_window=window, pallas_remap=use_remap)
+                    for p in upgraded
+                ]
                 print(
-                    f"Using Pallas trilinear kernel (measured window={window})",
+                    f"Using Pallas trilinear kernel (measured window={window}, "
+                    f"remap={use_remap})",
                     flush=True,
                 )
             elif len(perms) > 1:
