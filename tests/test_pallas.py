@@ -327,6 +327,28 @@ def test_remap_gradients_match_finite_differences():
         assert abs(g[k] - fd) / (abs(fd) + 1e-3) < 0.02, (k, g[k], fd)
 
 
+def test_with_pallas_vmem_guard():
+    # packed_table_bytes math + the fallback for volumes that exceed VMEM
+    from xvr_tpu.render.pallas import packed_table_bytes
+
+    assert packed_table_bytes((256, 256, 256)) == 256 * 256 * 2 * 128 * 4
+    assert packed_table_bytes((512, 512, 512)) == 512 * 512 * 4 * 128 * 4
+    assert packed_table_bytes((512, 512, 512)) > 100 * 1024 * 1024
+
+    from unittest import mock
+
+    from xvr_tpu.render import Projector, make_test_volume
+    from xvr_tpu.render import pallas as pallas_mod
+
+    vol = make_test_volume(16, spacing=2.0, kind="sphere")
+    proj = Projector.from_volume(vol, sdd=400.0, height=8, delx=4.0)
+    pose = pose_at([180.0, 0.0, 0.0], [0.0, 200.0, 0.0])
+    with mock.patch.object(pallas_mod, "packed_table_bytes",
+                           return_value=512 * 1024 * 1024):
+        kept = proj.with_pallas(pose)
+    assert kept.renderer == "trilinear"
+
+
 def test_siddon_pallas_matches_xla_exactly():
     from xvr_tpu.render.pallas import raymarch_siddon_pallas
 

@@ -967,6 +967,20 @@ def estimate_window_span(d_vox: np.ndarray, perm, det_shape) -> float:
     return float(row_d * SUB + col_d * LANE) * 1.2 + 4.0
 
 
+def packed_table_bytes(vol_shape_or_density, perm=None) -> int:
+    """Size of the bf16-pair packed density table.
+
+    The VMEM-resident kernels need this to fit (with ray tiles and headroom)
+    in the ~128 MB of v5e VMEM; callers should fall back to the XLA renderer
+    above ~100 MB (e.g. full-resolution 512^3 CTs)."""
+    shape = getattr(vol_shape_or_density, "shape", vol_shape_or_density)
+    if perm is not None:
+        shape = [shape[a] for a in perm]
+    M, Wd, L = (int(x) for x in shape)
+    H = -(-L // LANE)
+    return M * Wd * H * LANE * 4
+
+
 def _shear_pad(det_shape: tuple[int, int]) -> int:
     """Static row padding for the shear remap: covers per-column shifts up to
     Wdet/2 (in-plane roll ~26 deg). Larger shifts are clipped — the window

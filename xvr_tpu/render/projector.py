@@ -167,7 +167,11 @@ class Projector:
         degrees from the march axis the kernel model breaks; this returns
         ``self`` unchanged (XLA path) in that case.
         """
-        from .pallas import choose_permutation_for_pose, measured_steepness
+        from .pallas import (
+            choose_permutation_for_pose,
+            measured_steepness,
+            packed_table_bytes,
+        )
 
         import numpy as np
 
@@ -180,6 +184,14 @@ class Projector:
                 jax.device_get(orientation_transform(self.volume.orientation).R)
             )
         perm = choose_permutation_for_pose(R, np.asarray(jax.device_get(self.affine_inverse)))
+        table_mb = packed_table_bytes(self.density, perm) >> 20
+        if table_mb > 100:
+            print(
+                f"with_pallas: packed volume ({table_mb} MB) exceeds VMEM; "
+                "keeping the XLA renderer",
+                flush=True,
+            )
+            return self
         proj = self.replace(
             renderer="trilinear_pallas",
             pallas_perm=perm,
