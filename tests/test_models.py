@@ -60,3 +60,72 @@ def test_resnet34_deeper_than_18():
     n34 = sum(x.size for x in jax.tree.leaves(
         create_backbone("resnet34").init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))))
     assert n34 > n18 > 1e6
+
+
+def test_imagenet_backbone_grafting(tmp_path):
+    """A torchvision-format resnet18 state_dict grafts into the flax params:
+    conv kernels transposed OIHW->HWIO, stem summed RGB->1ch, BN stats folded
+    into the GroupNorm affine; the model still runs."""
+    import numpy as np
+    import torch
+
+    from xvr_tpu.models import PoseRegressor, init_pose_regressor, load_imagenet_backbone
+
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    def bn(c, prefix, sd):
+        sd[f"{prefix}.weight"] = t(c)
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = torch.abs(t(c)) + 0.5
+
+    sd = {"conv1.weight": t(64, 3, 7, 7)}
+    bn(64, "bn1", sd)
+    chans = [64, 128, 256, 512]
+    for i, (c, size) in enumerate(zip(chans, [2, 2, 2, 2])):
+        cin = chans[i - 1] if i else 64
+        for j in range(size):
+            p = f"layer{i + 1}.{j}"
+            first_in = cin if j == 0 else c
+            sd[f"{p}.conv1.weight"] = t(c, first_in, 3, 3)
+            bn(c, f"{p}.bn1", sd)
+            sd[f"{p}.conv2.weight"] = t(c, c, 3, 3)
+            bn(c, f"{p}.bn2", sd)
+            if j == 0 and i > 0:
+                sd[f"{p}.downsample.0.weight"] = t(c, cin, 1, 1)
+                bn(c, f"{p}.downsample.1", sd)
+    path = tmp_path / "resnet18.pth"
+    torch.save(sd, path)
+
+    model = PoseRegressor(model_name="resnet18")
+    params = init_pose_regressor(model, jax.random.PRNGKey(0), 32)
+    loaded_params, ok = load_imagenet_backbone(params, "resnet18", weights_path=path)
+    assert ok
+    net = loaded_params["params"]["ResNet_0"]
+    # stem: summed RGB, OIHW->HWIO
+    expect = np.asarray(sd["conv1.weight"]).sum(1, keepdims=True).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(net["Conv_0"]["kernel"]), expect, rtol=1e-6)
+    # folded BN -> GN affine on the stem
+    w, b = np.asarray(sd["bn1.weight"]), np.asarray(sd["bn1.bias"])
+    rm, rv = np.asarray(sd["bn1.running_mean"]), np.asarray(sd["bn1.running_var"])
+    scale = w / np.sqrt(rv + 1e-5)
+    gn = net["_AdaptiveGroupNorm_0"]["GroupNorm_0"]
+    np.testing.assert_allclose(np.asarray(gn["scale"]), scale, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gn["bias"]), b - rm * scale, rtol=1e-5)
+    # downsample conv of layer2.0 landed in BasicBlock_2/Conv_2
+    ds = np.asarray(sd["layer2.0.downsample.0.weight"]).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(net["BasicBlock_2"]["Conv_2"]["kernel"]), ds, rtol=1e-6)
+    # grafted model still runs
+    rot, xyz = model.apply(loaded_params, jnp.zeros((1, 1, 32, 32)))
+    assert np.isfinite(np.asarray(rot)).all() and np.isfinite(np.asarray(xyz)).all()
+    # heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["Dense_0"]["kernel"]),
+        np.asarray(loaded_params["params"]["Dense_0"]["kernel"]))
+    # missing file -> unchanged params, ok=False
+    same, ok2 = load_imagenet_backbone(params, "resnet18", weights_path=tmp_path / "nope.pth")
+    assert not ok2

@@ -327,26 +327,72 @@ def test_remap_gradients_match_finite_differences():
         assert abs(g[k] - fd) / (abs(fd) + 1e-3) < 0.02, (k, g[k], fd)
 
 
-def test_with_pallas_vmem_guard():
-    # packed_table_bytes math + the fallback for volumes that exceed VMEM
+def test_packed_table_bytes():
     from xvr_tpu.render.pallas import packed_table_bytes
 
     assert packed_table_bytes((256, 256, 256)) == 256 * 256 * 2 * 128 * 4
     assert packed_table_bytes((512, 512, 512)) == 512 * 512 * 4 * 128 * 4
     assert packed_table_bytes((512, 512, 512)) > 100 * 1024 * 1024
 
+
+def test_streaming_matches_resident():
+    # the HBM-streaming kernel (slab chunks as outermost grid dim) must
+    # reproduce the VMEM-resident kernel exactly, including with the remap.
+    # Chunk size forced small so the march really spans multiple chunks
+    # (accumulation across output-block revisits is the thing under test).
     from unittest import mock
 
-    from xvr_tpu.render import Projector, make_test_volume
     from xvr_tpu.render import pallas as pallas_mod
 
-    vol = make_test_volume(16, spacing=2.0, kind="sphere")
-    proj = Projector.from_volume(vol, sdd=400.0, height=8, delx=4.0)
-    pose = pose_at([180.0, 0.0, 0.0], [0.0, 200.0, 0.0])
-    with mock.patch.object(pallas_mod, "packed_table_bytes",
-                           return_value=512 * 1024 * 1024):
-        kept = proj.with_pallas(pose)
-    assert kept.renderer == "trilinear"
+    vol = make_test_volume(32, spacing=2.0, kind="random")
+    det = Detector(sdd=400.0, height=16, width=16, delx=4.0, dely=4.0)
+    pose = pose_at([8.0, -4.0, 15.0], [3.0, 200.0, -4.0])
+    src, tgt = det.rays(pose)
+    patcher = mock.patch.object(pallas_mod, "_stream_chunk", return_value=8)
+    patcher.start()
+    for remap in (False, True):
+        base = np.asarray(raymarch_trilinear_pallas(
+            vol.data, vol.affine_inverse, src, tgt, window=24, perm=(1, 0, 2),
+            remap=remap, stream=False))
+        streamed = np.asarray(raymarch_trilinear_pallas(
+            vol.data, vol.affine_inverse, src, tgt, window=24, perm=(1, 0, 2),
+            remap=remap, stream=True))
+        np.testing.assert_allclose(streamed, base, rtol=1e-6, atol=1e-5)
+
+    from xvr_tpu.render.pallas import raymarch_siddon_pallas
+
+    base = np.asarray(raymarch_siddon_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=24, perm=(1, 0, 2)))
+    streamed = np.asarray(raymarch_siddon_pallas(
+        vol.data, vol.affine_inverse, src, tgt, window=24, perm=(1, 0, 2),
+        stream=True))
+    patcher.stop()
+    np.testing.assert_allclose(streamed, base, rtol=1e-6, atol=1e-5)
+
+
+def test_streaming_gradients_match_finite_differences():
+    vol = make_test_volume(16, spacing=2.0, kind="gradient")
+    det = Detector(sdd=400.0, height=8, width=8, delx=4.0, dely=4.0)
+
+    def loss(params):
+        alpha, ty, tz = params
+        rot = jnp.stack([alpha, jnp.zeros(()), jnp.zeros(())])[None]
+        xyz = jnp.stack([jnp.zeros(()), ty, tz])[None]
+        pose = convert(rot, xyz, "euler_angles", "ZXY")
+        src, tgt = det.rays(pose)
+        img = raymarch_trilinear_pallas(
+            vol.data, vol.affine_inverse, src, tgt, window=16, perm=(1, 0, 2),
+            stream=True,
+        )
+        return jnp.sum(img**2)
+
+    p = jnp.array([0.02, 200.0, 1.5])
+    g = np.asarray(jax.grad(loss)(p))
+    eps = [1e-4, 1e-2, 1e-2]
+    for k in range(3):
+        e = jnp.zeros(3).at[k].set(eps[k])
+        fd = float((loss(p + e) - loss(p - e)) / (2 * eps[k]))
+        assert abs(g[k] - fd) / (abs(fd) + 1e-3) < 0.02, (k, g[k], fd)
 
 
 def test_siddon_pallas_matches_xla_exactly():

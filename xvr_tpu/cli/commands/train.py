@@ -59,7 +59,7 @@ from ..logging import start_run
 @categorized_option("--norm_layer", default=args.norm_layer, type=str,
                     help="Normalization layer", category="Model")
 @categorized_option("--pretrained", default=args.pretrained, is_flag=True,
-                    help="Load pretrained ImageNet-1k weights (unsupported; accepted for CLI parity)", category="Model")
+                    help="Initialize the backbone from ImageNet-1k weights (torchvision state_dict via $XVR_PRETRAINED_DIR or the torch hub cache)", category="Model")
 @categorized_option("--parameterization", default=args.parameterization, type=str,
                     help="Parameterization of SO(3) for regression", category="Model")
 @categorized_option("--convention", default=args.convention, type=str,

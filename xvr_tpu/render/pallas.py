@@ -73,11 +73,27 @@ def _unpack(g: jnp.ndarray):
     return lo, hi
 
 
-def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
-    """One (8, 128) detector tile: march all M slabs, accumulate the DRR."""
+def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window, K=None):
+    """One (8, 128) detector tile: march the slabs, accumulate the DRR.
+
+    K=None: the whole packed table is VMEM-resident and the tile marches all
+    M slabs in one visit. K=int: STREAMING mode — the march is split into
+    K-slab chunks forming the outermost grid dimension; ``table`` is this
+    chunk's (K*Wd*H, 128) block (HBM->VMEM pipelined once per render, since
+    its block index ignores the tile dims) and the output tile accumulates
+    across chunk revisits. Streaming handles volumes far beyond VMEM
+    (512^3 packs to ~537 MB) at the cost of one extra out-block round-trip
+    per chunk."""
+    stream = K is not None
+    chunk = pl.program_id(0) if stream else None
     s0, s1, s2 = s0[0], s1[0], s2[0]
     d0, d1, d2 = d0[0], d1[0], d2[0]
     ws = ws[0]
+
+    if stream:
+        @pl.when(chunk == 0)
+        def _():
+            out[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
     safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
     inv_d0 = 1.0 / safe_d0
@@ -101,8 +117,8 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
         a_out = jnp.minimum(a_out, hi_t)
     a_out = jnp.maximum(a_out, a_in)
 
-    def slab(m, acc):
-        mf = m.astype(jnp.float32)
+    def slab(k, acc):
+        mf = ((chunk * K + k) if stream else k).astype(jnp.float32)
         alpha = (mf - s0) * inv_d0
         p1 = s1 + alpha * d1  # window coord
         p2 = s2 + alpha * d2  # lane coord
@@ -128,13 +144,15 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
 
         def compute(acc):
             # ONE dynamic slice per slab: the whole window block (rows are
-            # contiguous in the packed layout), then static row indexing
-            base = (m * Wd + z0) * H
+            # contiguous in the packed layout; k is block-relative when
+            # streaming), then static row indexing
+            base = (k * Wd + z0) * H
             win = table[pl.ds(base, window * H), :]
 
             def window_row(d, acc):
                 zr = z0 + d
-                # triangle weight folds the window-axis lerp
+                # triangle weight folds the window-axis lerp; zr < Wd always
+                # (z0 is clipped to Wd - window)
                 wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
                 row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
                 g = jnp.take_along_axis(row0, idx_lo, axis=1)
@@ -144,7 +162,7 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
                     g = jnp.where(in_lo, g, g1)
                 lo, hi = _unpack(g)
                 v = lo + fx * (hi - lo)
-                w = jnp.where(valid & (zr < Wd), wz * w_alpha, 0.0)
+                w = jnp.where(valid, wz * w_alpha, 0.0)
                 return acc + w * v
 
             for d in range(window):
@@ -158,14 +176,17 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
     # tiles with no live rays (e.g. shear-remap padding) skip the whole march
     acc = jax.lax.cond(
         jnp.any(ws > 0.0),
-        lambda _: jax.lax.fori_loop(0, M, slab, zero),
+        lambda _: jax.lax.fori_loop(0, K if stream else M, slab, zero),
         lambda _: zero,
         None,
     )
-    out[0] = acc * ws
+    if stream:
+        out[0] += acc * ws
+    else:
+        out[0] = acc * ws
 
 
-def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window):
+def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window, K=None):
     """Exact Siddon forward kernel (piecewise-constant voxel model).
 
     Within one march slab the ray crosses at most ONE window plane and ONE
@@ -174,11 +195,19 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
     assumes). The slab interval therefore splits into <= 3 segments whose
     voxels lie in {ra, rb} x {ca, cb} with rb = ra +- 1, cb = ca +- 1; one
     bf16-pair gather per window row serves both lane neighbors, and exact
-    crossing parameters give exact per-voxel path lengths.
+    crossing parameters give exact per-voxel path lengths. ``K`` selects
+    streaming mode (see ``_kernel``).
     """
+    stream = K is not None
+    chunk = pl.program_id(0) if stream else None
     s0, s1, s2 = s0[0], s1[0], s2[0]
     d0, d1, d2 = d0[0], d1[0], d2[0]
     ws = ws[0]
+
+    if stream:
+        @pl.when(chunk == 0)
+        def _():
+            out[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
     safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
     inv_d0 = 1.0 / safe_d0
@@ -205,8 +234,8 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
 
     BIG = jnp.float32(3e38)
 
-    def slab(m, acc):
-        mf = m.astype(jnp.float32)
+    def slab(k, acc):
+        mf = ((chunk * K + k) if stream else k).astype(jnp.float32)
         alpha = (mf - s0) * inv_d0
         aa = jnp.maximum(alpha - half, a_in)
         ab = jnp.minimum(alpha + half, a_out)
@@ -251,7 +280,7 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
         idx_hi = jnp.clip(cmin - LANE, 0, LANE - 1)
 
         def compute(acc):
-            base = (m * Wd + z0) * H
+            base = (k * Wd + z0) * H
             win = table[pl.ds(base, window * H), :]
             contrib = jnp.zeros((SUB, LANE), jnp.float32)
             for d in range(window):
@@ -275,11 +304,14 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
     zero = jnp.zeros((SUB, LANE), jnp.float32)
     acc = jax.lax.cond(
         jnp.any(ws > 0.0),
-        lambda _: jax.lax.fori_loop(0, M, slab, zero),
+        lambda _: jax.lax.fori_loop(0, K if stream else M, slab, zero),
         lambda _: zero,
         None,
     )
-    out[0] = acc * ws * abs_d0  # alpha-lengths * raylen
+    if stream:
+        out[0] += acc * ws * abs_d0
+    else:
+        out[0] = acc * ws * abs_d0  # alpha-lengths * raylen
 
 
 def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
@@ -449,15 +481,25 @@ def _aabb_with_partials(s, d, n):
 
 def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
                 gs0, gs1, gs2, gd0, gd1, gd2, gws,
-                *, M, Wd, H, L, window):
+                *, M, Wd, H, L, window, K=None):
     """Analytic reverse pass: re-marches the volume and accumulates per-ray
     gradients w.r.t. the permuted source/direction components and the weight
-    scale. Same memory pattern as the forward (volume resident in VMEM), so
-    the backward runs at ~2x the forward cost instead of paying XLA's scatter
+    scale. Same memory pattern as the forward (volume resident in VMEM, or
+    K-slab chunks streamed from HBM when K is set — see ``_kernel``), so the
+    backward runs at ~2x the forward cost instead of paying XLA's scatter
     machinery."""
+    stream = K is not None
+    chunk = pl.program_id(0) if stream else None
     s0, s1, s2 = s0[0], s1[0], s2[0]
     d0, d1, d2 = d0[0], d1[0], d2[0]
     ws, g = ws[0], g[0]
+
+    if stream:
+        @pl.when(chunk == 0)
+        def _():
+            z = jnp.zeros((SUB, LANE), jnp.float32)
+            for ref in (gs0, gs1, gs2, gd0, gd1, gd2, gws):
+                ref[0] = z
 
     safe_d0 = jnp.where(jnp.abs(d0) < 1e-6, 1e-6, d0)
     inv_d0 = 1.0 / safe_d0
@@ -489,9 +531,9 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
     a_out = jnp.maximum(a_out, a_in)
     daout = [jnp.where(clip_out, gi, go) for gi, go in zip(dain, daout)]
 
-    def slab(m, carry):
+    def slab(k, carry):
         acc, g0, g1_, g2_, g3_, g4_, g5_ = carry
-        mf = m.astype(jnp.float32)
+        mf = ((chunk * K + k) if stream else k).astype(jnp.float32)
         alpha = (mf - s0) * inv_d0
         da_ds0 = -inv_d0
         da_dd0 = -alpha * inv_d0
@@ -527,7 +569,7 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
             B = jnp.zeros_like(s0)
             dB_dp1 = jnp.zeros_like(s0)
             dB_dp2 = jnp.zeros_like(s0)
-            base = (m * Wd + z0) * H
+            base = (k * Wd + z0) * H
             win = table[pl.ds(base, window * H), :]
             for dwin in range(window):
                 zr = z0 + dwin
@@ -588,17 +630,38 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
     init = tuple(jnp.zeros((SUB, LANE), jnp.float32) for _ in range(7))
     acc, g0, g1_, g2_, g3_, g4_, g5_ = jax.lax.cond(
         jnp.any(ws > 0.0),
-        lambda _: jax.lax.fori_loop(0, M, slab, init),
+        lambda _: jax.lax.fori_loop(0, K if stream else M, slab, init),
         lambda _: init,
         None,
     )
-    gs0[0] = g0
-    gs1[0] = g1_
-    gs2[0] = g2_
-    gd0[0] = g3_
-    gd1[0] = g4_
-    gd2[0] = g5_
-    gws[0] = g * acc
+    if stream:
+        gs0[0] += g0
+        gs1[0] += g1_
+        gs2[0] += g2_
+        gd0[0] += g3_
+        gd1[0] += g4_
+        gd2[0] += g5_
+        gws[0] += g * acc
+    else:
+        gs0[0] = g0
+        gs1[0] = g1_
+        gs2[0] = g2_
+        gd0[0] = g3_
+        gd1[0] = g4_
+        gd2[0] = g5_
+        gws[0] = g * acc
+
+
+STREAM_THRESHOLD = 100 * 1024 * 1024  # table bytes above which we stream
+
+
+def _stream_chunk(vol_shape: tuple[int, int, int]) -> int:
+    """Slabs per streamed chunk: targets a ~6 MB table block (fits VMEM
+    double-buffered alongside ray tiles with plenty of headroom)."""
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    per_slab = Wd * H * LANE * 4
+    return max(1, min(int(M), (6 * 1024 * 1024) // per_slab))
 
 
 def _pad_to(x, m, axis):
@@ -638,22 +701,60 @@ def _specs(B, Hp, Wp, table_shape, n_rays_io, n_outs):
     return grid, in_specs, out_specs, out_shape
 
 
+def _stream_setup(packed_table, vol_shape, B, Hp, Wp, n_rays_io, n_outs):
+    """Grid/specs for streaming mode: chunk dim OUTERMOST so the table block
+    (indexed by chunk only) crosses HBM->VMEM once per render while the ray
+    and output tiles revisit per chunk."""
+    M, Wd, L = vol_shape
+    H = -(-L // LANE)
+    K = _stream_chunk(vol_shape)
+    chunk_rows = K * Wd * H
+    pad_rows = (-packed_table.shape[0]) % chunk_rows
+    if pad_rows:
+        packed_table = jnp.pad(packed_table, ((0, pad_rows), (0, 0)))
+    n_chunks = packed_table.shape[0] // chunk_rows
+    ray_spec = pl.BlockSpec(
+        (1, SUB, LANE), lambda c, b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(
+        (chunk_rows, LANE), lambda c, b, i, j: (c, 0), memory_space=pltpu.VMEM
+    )
+    grid = (n_chunks, B, Hp // SUB, Wp // LANE)
+    in_specs = [ray_spec] * n_rays_io + [tab_spec]
+    out_specs = ray_spec if n_outs == 1 else [ray_spec] * n_outs
+    out_shape = jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)
+    if n_outs > 1:
+        out_shape = [out_shape] * n_outs
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * 4,
+        vmem_limit_bytes=110 * 1024 * 1024,
+    )
+    return packed_table, K, grid, in_specs, out_specs, out_shape, params
+
+
 def _core_impl(packed_table, s_vox, d_vox, wscale, cfg):
-    det_shape, vol_shape, window, interpret = cfg
+    det_shape, vol_shape, window, interpret, stream = cfg
     Hd, Wdet = det_shape
     M, Wd, L = vol_shape
     H = -(-L // LANE)
     B = s_vox.shape[0]
     Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
     fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
-    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+    if stream:
+        packed_table, K, grid, in_specs, out_specs, out_shape, params = _stream_setup(
+            packed_table, vol_shape, B, Hp, Wp, 7, 1
+        )
+    else:
+        K = None
+        grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+        params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     out = pl.pallas_call(
-        partial(_kernel, M=M, Wd=Wd, H=H, L=L, window=window),
+        partial(_kernel, M=M, Wd=Wd, H=H, L=L, window=window, K=K),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(*fields, packed_table)
     return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
@@ -671,7 +772,7 @@ def _core_fwd(packed_table, s_vox, d_vox, wscale, cfg):
 
 def _core_bwd(cfg, res, g):
     packed_table, s_vox, d_vox, wscale = res
-    det_shape, vol_shape, window, interpret = cfg
+    det_shape, vol_shape, window, interpret, stream = cfg
     Hd, Wdet = det_shape
     M, Wd, L = vol_shape
     H = -(-L // LANE)
@@ -679,14 +780,21 @@ def _core_bwd(cfg, res, g):
     Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
     fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
     gp = _pad_to(_pad_to(g.reshape(B, Hd, Wdet), SUB, 1), LANE, 2)
-    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 8, 7)
+    if stream:
+        packed_table, K, grid, in_specs, out_specs, out_shape, params = _stream_setup(
+            packed_table, vol_shape, B, Hp, Wp, 8, 7
+        )
+    else:
+        K = None
+        grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 8, 7)
+        params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     outs = pl.pallas_call(
-        partial(_kernel_bwd, M=M, Wd=Wd, H=H, L=L, window=window),
+        partial(_kernel_bwd, M=M, Wd=Wd, H=H, L=L, window=window, K=K),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(*fields, gp, packed_table)
 
@@ -754,7 +862,7 @@ def _channels_bwd(cfg, res, g):
     det_shape, vol_shape, window, interpret, channels = cfg
     g_eff = jnp.mean(g, axis=1)
     _, g_s, g_d, g_ws = _core_bwd(
-        (det_shape, vol_shape, window, interpret),
+        (det_shape, vol_shape, window, interpret, False),
         (packed_table, s_vox, d_vox, wscale),
         g_eff,
     )
@@ -780,7 +888,7 @@ def _render_channels(
 
 @partial(
     jax.jit,
-    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret"),
+    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret", "stream"),
 )
 def _render(
     packed_table,
@@ -793,10 +901,11 @@ def _render(
     window,
     perm,
     interpret,
+    stream=False,
 ):
     return _core(
         packed_table, s_vox, d_vox, wscale,
-        (det_shape, vol_shape, window, interpret),
+        (det_shape, vol_shape, window, interpret, stream),
     )
 
 
@@ -1065,12 +1174,16 @@ def raymarch_trilinear_pallas(
     perm: tuple[int, int, int] | None = None,
     packed=None,  # optional (packed_table, vol_shape) from pack_density
     remap: bool = False,
+    stream: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`xvr_tpu.render.xla.raymarch_trilinear`.
 
     ``source``/``target``: (B, 1|R, 3) world mm; returns (B, R), or (B, C, R)
     when a labelmap + labels are given (channel 0 = background; nearest-voxel
-    label attribution, like the XLA renderer).
+    label attribution, like the XLA renderer). ``stream`` (default: auto by
+    table size) streams the volume from HBM in slab chunks — required for
+    volumes whose packed table exceeds VMEM (e.g. full-resolution 512^3 CTs);
+    the channel path has no streaming mode and falls back to the XLA renderer.
     """
     use_channels = mask is not None and labels is not None
     if interpret is None:
@@ -1108,8 +1221,17 @@ def raymarch_trilinear_pallas(
 
     # a window >= the transverse extent can never clip; cap the cost there
     window = min(int(window), int(vol_shape[1]))
+    if stream is None:
+        stream = packed_table_bytes(vol_shape) > STREAM_THRESHOLD
     Hd0, Wd0 = det_shape
     pad = _shear_pad(det_shape) if remap else 0
+    if use_channels and stream:
+        from . import xla
+
+        return xla.raymarch_trilinear(
+            density, affine_inverse, source, target,
+            n_samples=n_samples, mask=mask, labels=labels,
+        )
     if use_channels:
         label_table = pack_labels(mask, perm)
         if remap:
@@ -1142,6 +1264,7 @@ def raymarch_trilinear_pallas(
         window=window,
         perm=perm,
         interpret=bool(interpret),
+        stream=bool(stream),
     )
     if remap:
         img = _barrel_shear(out.reshape(B, Hd0 + pad, Wd0), shift, pad, Hd0, reverse=True)
@@ -1162,11 +1285,11 @@ def pack_density(density: jnp.ndarray, perm: tuple[int, int, int]):
 
 @partial(
     jax.jit,
-    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret"),
+    static_argnames=("det_shape", "vol_shape", "window", "perm", "interpret", "stream"),
 )
 def _render_siddon(
     packed_table, s_vox, d_vox, wscale,
-    *, det_shape, vol_shape, window, perm, interpret,
+    *, det_shape, vol_shape, window, perm, interpret, stream=False,
 ):
     det = det_shape
     Hd, Wdet = det
@@ -1175,14 +1298,21 @@ def _render_siddon(
     B = s_vox.shape[0]
     Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
     fields = _prep_fields(s_vox, d_vox, wscale, det_shape)
-    grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+    if stream:
+        packed_table, K, grid, in_specs, out_specs, out_shape, params = _stream_setup(
+            packed_table, vol_shape, B, Hp, Wp, 7, 1
+        )
+    else:
+        K = None
+        grid, in_specs, out_specs, out_shape = _specs(B, Hp, Wp, packed_table.shape, 7, 1)
+        params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     out = pl.pallas_call(
-        partial(_kernel_siddon, M=M, Wd=Wd, H=H, L=L, window=window),
+        partial(_kernel_siddon, M=M, Wd=Wd, H=H, L=L, window=window, K=K),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(*fields, packed_table)
     return out[:, :Hd, :Wdet].reshape(B, Hd * Wdet)
@@ -1201,6 +1331,7 @@ def raymarch_siddon_pallas(
     perm: tuple[int, int, int] | None = None,
     packed=None,
     remap: bool = False,
+    stream: bool | None = None,
 ) -> jnp.ndarray:
     """Exact Siddon fast path (forward only — no pose gradients; the XLA DDA
     remains the differentiable reference). Labelmap channel rendering falls
@@ -1243,6 +1374,8 @@ def raymarch_siddon_pallas(
     wscale = raylen / jnp.clip(jnp.abs(d_p[..., 0]), 1e-6)
 
     window = min(int(window), int(vol_shape[1]))
+    if stream is None:
+        stream = packed_table_bytes(vol_shape) > STREAM_THRESHOLD
     Hd0, Wd0 = det_shape
     pad = _shear_pad(det_shape) if remap else 0
     if remap:
@@ -1256,6 +1389,7 @@ def raymarch_siddon_pallas(
         window=window,
         perm=perm,
         interpret=bool(interpret),
+        stream=bool(stream),
     )
     if remap:
         img = _barrel_shear(out.reshape(B, Hd0 + pad, Wd0), shift, pad, Hd0, reverse=True)

@@ -186,12 +186,13 @@ class Projector:
         perm = choose_permutation_for_pose(R, np.asarray(jax.device_get(self.affine_inverse)))
         table_mb = packed_table_bytes(self.density, perm) >> 20
         if table_mb > 100:
+            # beyond VMEM the render wrappers auto-select the HBM-streaming
+            # kernel (slab chunks as the outermost grid dim)
             print(
-                f"with_pallas: packed volume ({table_mb} MB) exceeds VMEM; "
-                "keeping the XLA renderer",
+                f"with_pallas: packed volume is {table_mb} MB; "
+                "using the HBM-streaming kernel",
                 flush=True,
             )
-            return self
         proj = self.replace(
             renderer="trilinear_pallas",
             pallas_perm=perm,

@@ -246,6 +246,18 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
         self.params = init_pose_regressor(self.model, init_key, int(height))
+        if pretrained:
+            from ..models.pretrained import load_imagenet_backbone
+
+            self.params, loaded = load_imagenet_backbone(self.params, model_name)
+            print(
+                "Loaded ImageNet backbone weights"
+                if loaded
+                else "pretrained=True but no ImageNet weights found (set "
+                "XVR_PRETRAINED_DIR or place a torchvision state_dict in the "
+                "torch hub cache); training from random init",
+                flush=True,
+            )
 
         # ---- optimizer ----
         if disable_scheduler:
