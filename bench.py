@@ -101,36 +101,40 @@ def main():
     log(f"measured windows: detector-tiles {w_det}, sorted-remap {w_remap} -> "
         f"remap={remap}, window={window}")
 
+    table, vshape = packed
+
     @jax.jit
-    def render_trilinear(density, key):
+    def render_trilinear(density, table, key):
         # Pallas fast path (slab-marching kernel, volume resident in VMEM);
-        # the pose sampling + ray generation fuse into the same executable
+        # the pose sampling + ray generation fuse into the same executable.
+        # The packed table rides as an ARGUMENT — a closure capture would
+        # embed it as a constant in the compile payload.
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_trilinear_pallas(
-            density, affinv, src, tgt, window=window, perm=perm, packed=packed,
-            remap=remap,
+            density, affinv, src, tgt, window=window, perm=perm,
+            packed=(table, vshape), remap=remap,
         )
 
     @jax.jit
-    def render_siddon(density, key):
+    def render_siddon(density, table, key):
         pose = get_random_pose(key, batch_size=B, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_siddon_pallas(
-            density, affinv, src, tgt, window=window + 8, perm=perm, packed=packed,
-            remap=remap,
+            density, affinv, src, tgt, window=window + 8, perm=perm,
+            packed=(table, vshape), remap=remap,
         )
 
     def bench(fn, name, n_iter=30):
         key = jax.random.PRNGKey(0)
         t0 = time.perf_counter()
-        fn(density, key).block_until_ready()
+        fn(density, table, key).block_until_ready()
         log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
         # timed
         keys = jax.random.split(jax.random.PRNGKey(1), n_iter)
         t0 = time.perf_counter()
         for k in keys:
-            out = fn(density, k)
+            out = fn(density, table, k)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         drrs_per_sec = B * n_iter / dt
