@@ -1,0 +1,135 @@
+"""End-to-end registration benchmark (BASELINE.json config 3).
+
+Synthetic DeepFluoro-style setup: a 256^3 CT with asymmetric bone features,
+a ground-truth DRR written as a 1436^2 DICOM X-ray (sdd 1020, 0.194 mm
+pixels — the DeepFluoro intrinsics, scripts/deepfluoro/register/finetuned.sh
+in the reference), then `xvr register`-equivalent test-time optimization from
+a perturbed initial pose at scales 24,12,6 x 500 iterations with crop 100.
+
+Prints one JSON line: {"runtime_s", "iters", "ms_per_iter", "dgeo_init_mm",
+"dgeo_final_mm"}. The reference budget for this config is a <=3 h SLURM
+allocation per X-ray batch on an RTX 6000 Ada; per-registration wall time
+there is minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xvr_tpu.geometry import convert
+    from xvr_tpu.io import dcmwrite, save_nifti
+    from xvr_tpu.io.volumes import read
+    from xvr_tpu.metrics import double_geodesic
+    from xvr_tpu.registrar import RegistrarFixed
+    from xvr_tpu.render import Projector
+
+    log(f"device: {jax.devices()[0]}")
+    d = Path(tempfile.mkdtemp(prefix="xvr_bench_reg_"))
+
+    # ---- synthetic CT. Registration needs coarse-scale ASYMMETRY: a
+    # rotation-symmetric body (e.g. a cylinder of small blobs) leaves a flat
+    # similarity ridge along the roll axis that fixed-step Adam random-walks
+    # down. Use an ellipsoid body plus a few LARGE, differently-oriented bone
+    # structures (diagonal rod, off-center ball, plate) that a 60-pixel
+    # pyramid level still resolves. ----
+    n, sp = 256, 1.5
+    c = (n - 1) / 2
+    X, Y, Z = np.meshgrid(*([np.arange(n, dtype=np.float32)] * 3), indexing="ij")
+    body = ((X - c) / (0.45 * n)) ** 2 + ((Y - c) / (0.30 * n)) ** 2 + (
+        (Z - c) / (0.40 * n)
+    ) ** 2
+    hu = np.where(body <= 1.0, 40.0, -1000.0).astype(np.float32)
+    # thick diagonal rod
+    t = np.linspace(0.28, 0.72, 200)
+    for ti in t:
+        cx, cy, cz = n * ti, n * (0.35 + 0.3 * ti), n * (1.0 - ti) * 0.8 + 0.1 * n
+        r2 = (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+        hu = np.maximum(hu, np.where(r2 <= (0.045 * n) ** 2, 1200.0, hu))
+    # large off-center ball + a plate
+    r2 = (X - 0.62 * n) ** 2 + (Y - 0.45 * n) ** 2 + (Z - 0.6 * n) ** 2
+    hu = np.maximum(hu, np.where(r2 <= (0.10 * n) ** 2, 1000.0, hu))
+    plate = (np.abs(X - 0.35 * n) < 0.04 * n) & (np.abs(Y - 0.55 * n) < 0.12 * n) & (
+        np.abs(Z - 0.35 * n) < 0.12 * n
+    )
+    hu = np.maximum(hu, np.where(plate, 1400.0, hu))
+    # band-limit like a real CT (sharp edges alias at coarse pyramid levels)
+    from scipy.ndimage import gaussian_filter
+
+    hu = gaussian_filter(hu, sigma=2.0).astype(np.float32)
+    aff = np.eye(4, dtype=np.float32) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -c * sp
+    save_nifti(d / "ct.nii.gz", hu, aff)
+
+    # ---- ground-truth X-ray at DeepFluoro intrinsics ----
+    SDD, H, DELX = 1020.0, 1436, 0.194
+    vol = read(d / "ct.nii.gz")
+    proj = Projector.from_volume(vol, sdd=SDD, height=H, delx=DELX)
+    gt_pose = convert(
+        jnp.asarray([[182.0, -4.0, 3.0]]), jnp.asarray([[6.0, 740.0, -10.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    t0 = time.perf_counter()
+    gt_proj = proj.with_pallas(gt_pose) if jax.default_backend() == "tpu" else proj
+    img = np.asarray(gt_proj(gt_pose))[0, 0]
+    log(f"GT render 1436^2: {time.perf_counter() - t0:.1f}s ({gt_proj.renderer})")
+    dcmwrite(
+        d / "xray.dcm", (img / img.max() * 60000).astype(np.uint16),
+        sdd=SDD, row_spacing=DELX, col_spacing=DELX,
+    )
+
+    # ---- register from a model-like init (reference scales/budget). Run
+    # TWICE with the same registrar: the first pays the per-stage jit
+    # compiles (once per intrinsics/scale combination), the second is the
+    # steady-state cost of the reference's 1800-registration sweeps. ----
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = np.asarray(rot0)[0] + np.deg2rad([2.5, -2.0, 1.5])
+    xyz_init = np.asarray(xyz0)[0] + np.array([8.0, -12.0, 6.0])
+    reg = RegistrarFixed(
+        volume=d / "ct.nii.gz", mask=None, orientation="AP",
+        rot=rot_init.tolist(), xyz=xyz_init.tolist(),
+        linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
+        reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
+        patience=10, max_n_plateaus=3, verbose=1,
+    )
+    results = {}
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        out = reg.run(d / "xray.dcm")
+        results[tag] = (time.perf_counter() - t0, out)
+    (cold_s, _), (warm_s, out) = results["cold"], results["warm"]
+    gt, intrinsics, _, init_pose, final_pose, kwargs = out
+    iters = len(kwargs["trajectory"]["ncc"])
+
+    _, _, dg_init = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, init_pose, SDD))
+    rg, tg, dg_fin = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, final_pose, SDD))
+    print(json.dumps({
+        "metric": "xvr register (scales 24,12,6 x 500, 1436^2 X-ray, 256^3 CT)",
+        "cold_runtime_s": round(cold_s, 1),
+        "warm_runtime_s": round(warm_s, 1),
+        "iters": iters,
+        "ms_per_iter_warm": round(results["warm"][1][5]["runtime"] / max(iters, 1) * 1e3, 1),
+        "dgeo_init_mm": round(dg_init, 2),
+        "dgeo_final_mm": round(dg_fin, 2),
+        "rot_final_deg": round(np.rad2deg(rg / SDD), 3),
+        "trans_final_mm": round(tg, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

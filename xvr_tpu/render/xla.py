@@ -114,7 +114,7 @@ def _channel_weights(labels_sampled: jnp.ndarray, labels: tuple[int, ...]) -> jn
     return jnp.concatenate([bg, fg], axis=-1).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("n_samples", "labels"))
+@partial(jax.jit, static_argnames=("n_samples", "labels", "ray_chunk"))
 def raymarch_trilinear(
     density: jnp.ndarray,
     affine_inverse: jnp.ndarray,
@@ -123,8 +123,35 @@ def raymarch_trilinear(
     n_samples: int = 256,
     mask: jnp.ndarray | None = None,
     labels: tuple[int, ...] | None = None,
+    ray_chunk: int | None = None,
 ) -> jnp.ndarray:
-    """Fixed-step ray marching with trilinear interpolation (midpoint rule)."""
+    """Fixed-step ray marching with trilinear interpolation (midpoint rule).
+
+    Materializes (B, R, S[, 3]) sample tensors; at full detector resolution
+    (1436^2 rays x 448 samples ~ 50 GB) that overflows HBM, so rays are
+    processed in ``ray_chunk``-sized pieces via ``lax.map`` when R * S is
+    large (auto) — same math, bounded memory, autodiff-compatible.
+    """
+    B, R = target.shape[0], target.shape[1]
+    if ray_chunk is None and R * n_samples > 2**27:
+        ray_chunk = max(1, 2**27 // n_samples)
+    if ray_chunk and ray_chunk < R:
+        pad = (-R) % ray_chunk
+        tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        nc = tgt.shape[1] // ray_chunk
+        tchunks = tgt.reshape(B, nc, ray_chunk, 3).transpose(1, 0, 2, 3)
+        out = jax.lax.map(
+            lambda t: raymarch_trilinear(
+                density, affine_inverse, source, t, n_samples,
+                mask=mask, labels=labels, ray_chunk=0,
+            ),
+            tchunks,
+        )
+        if out.ndim == 4:  # (nc, B, C, rc) labelled channels
+            out = out.transpose(1, 2, 0, 3).reshape(B, out.shape[2], nc * ray_chunk)
+            return out[..., :R]
+        out = out.transpose(1, 0, 2).reshape(B, nc * ray_chunk)
+        return out[:, :R]
     s_vox = _apply_affine(affine_inverse, source)
     t_vox = _apply_affine(affine_inverse, target)
     s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
