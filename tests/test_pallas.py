@@ -423,3 +423,41 @@ def test_siddon_pallas_single_ray_exact():
     pal = float(np.asarray(raymarch_siddon_pallas(
         vol.data, vol.affine_inverse, src, tgt, window=8, perm=(1, 0, 2)))[0, 0])
     assert abs(pal - ref) / ref < 0.005, (pal, ref)
+
+
+def test_lane_extent_beyond_256():
+    """Lane-axis gathers must reach past 2x128 lanes (512-wide CTs).
+
+    Regression: the kernels used a two-half select (in_lo/idx_hi) that
+    silently wrapped lane indices >= 256 back into half 1, corrupting renders
+    of volumes whose lane-axis extent exceeds 256 voxels."""
+    from xvr_tpu.render.pallas import raymarch_siddon_pallas, raymarch_trilinear_pallas
+
+    nx, ny, nz = 300, 20, 32  # lane axis (x, detector columns) > 256
+    X = np.linspace(-1, 1, nx)[:, None, None]
+    Z = np.linspace(-1, 1, nz)[None, None, :]
+    data = np.broadcast_to(
+        np.exp(-(X**2 + Z**2) * 3.0), (nx, ny, nz)
+    ).astype(np.float32)
+    sp = 2.0
+    aff = np.eye(4, dtype=np.float32) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = [-(nx - 1) / 2 * sp, -(ny - 1) / 2 * sp, -(nz - 1) / 2 * sp]
+    density = jnp.asarray(data)
+    affinv = jnp.asarray(np.linalg.inv(aff))
+    det = Detector(sdd=1500.0, height=32, width=64, delx=12.0, dely=12.0)
+    pose = pose_at([1.0, 0.5, 0.5], [0.0, 700.0, 0.0])
+    src, tgt = det.rays(pose)
+    perm = (1, 2, 0)  # march y, window z, lane x (extent 300)
+
+    ref = np.asarray(raymarch_trilinear(density, affinv, src, tgt, n_samples=1024))
+    out = np.asarray(raymarch_trilinear_pallas(
+        density, affinv, src, tgt, det_shape=(32, 64), window=24, perm=perm
+    ))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.03
+
+    refs = np.asarray(raymarch_siddon(density, affinv, src, tgt))
+    outs = np.asarray(raymarch_siddon_pallas(
+        density, affinv, src, tgt, det_shape=(32, 64), window=32, perm=perm
+    ))
+    assert np.abs(outs - refs).max() / np.abs(refs).max() < 0.01

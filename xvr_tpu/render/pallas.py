@@ -73,6 +73,22 @@ def _unpack(g: jnp.ndarray):
     return lo, hi
 
 
+def _gather_halves(rows, idx, H):
+    """Lane-axis gather across the H 128-lane halves of a packed row.
+
+    ``rows(h)`` returns half ``h`` broadcast to (SUB, LANE); ``idx`` holds
+    lane-axis voxel indices in [0, H*LANE). One 128-wide dynamic gather per
+    half, merged with selects — this is what lets the kernels address lane
+    extents beyond 256 (e.g. 512-wide CTs) correctly."""
+    half = jnp.clip(idx // LANE, 0, H - 1)
+    idx_in = idx - half * LANE
+    g = jnp.take_along_axis(rows(0), jnp.where(half == 0, idx_in, 0), axis=1)
+    for h in range(1, H):
+        gh = jnp.take_along_axis(rows(h), jnp.where(half == h, idx_in, 0), axis=1)
+        g = jnp.where(half == h, gh, g)
+    return g
+
+
 def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window, K=None):
     """One (8, 128) detector tile: march the slabs, accumulate the DRR.
 
@@ -138,9 +154,6 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window, K=No
 
         idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
         fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
-        in_lo = idx < LANE
-        idx_lo = jnp.where(in_lo, idx, 0)
-        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
 
         def compute(acc):
             # ONE dynamic slice per slab: the whole window block (rows are
@@ -154,12 +167,10 @@ def _kernel(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, window, K=No
                 # triangle weight folds the window-axis lerp; zr < Wd always
                 # (z0 is clipped to Wd - window)
                 wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
-                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
-                g = jnp.take_along_axis(row0, idx_lo, axis=1)
-                if H > 1:
-                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
-                    g1 = jnp.take_along_axis(row1, idx_hi, axis=1)
-                    g = jnp.where(in_lo, g, g1)
+                g = _gather_halves(
+                    lambda h: jnp.broadcast_to(win[d * H + h][None, :], (SUB, LANE)),
+                    idx, H,
+                )
                 lo, hi = _unpack(g)
                 v = lo + fx * (hi - lo)
                 w = jnp.where(valid, wz * w_alpha, 0.0)
@@ -275,9 +286,6 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
         z0 = jnp.clip(z0, 0, max(Wd - window, 0))
 
         cmin = jnp.clip(jnp.minimum(ca, cb), 0, L - 1)
-        in_lo = cmin < LANE
-        idx_lo = jnp.where(in_lo, cmin, 0)
-        idx_hi = jnp.clip(cmin - LANE, 0, LANE - 1)
 
         def compute(acc):
             base = (k * Wd + z0) * H
@@ -285,11 +293,10 @@ def _kernel_siddon(s0, s1, s2, d0, d1, d2, ws, table, out, *, M, Wd, H, L, windo
             contrib = jnp.zeros((SUB, LANE), jnp.float32)
             for d in range(window):
                 zr = z0 + d
-                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
-                g = jnp.take_along_axis(row0, idx_lo, axis=1)
-                if H > 1:
-                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
-                    g = jnp.where(in_lo, g, jnp.take_along_axis(row1, idx_hi, axis=1))
+                g = _gather_halves(
+                    lambda h: jnp.broadcast_to(win[d * H + h][None, :], (SUB, LANE)),
+                    cmin, H,
+                )
                 lo, hi = _unpack(g)
                 v_ca = jnp.where(ca == cmin, lo, hi)
                 v_cb = jnp.where(cb == cmin, lo, hi)
@@ -369,9 +376,6 @@ def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
 
         idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
         fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
-        in_lo = idx < LANE
-        idx_lo = jnp.where(in_lo, idx, 0)
-        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
         # nearest-voxel indices for the label lookup (4 labels per f32 word)
         r_near = jnp.clip(jnp.round(p1).astype(jnp.int32), 0, Wd - 1)
         n_idx = jnp.clip(jnp.round(p2).astype(jnp.int32), 0, L - 1)
@@ -388,11 +392,10 @@ def _kernel_channels(s0, s1, s2, d0, d1, d2, ws, table, ltable, *outs,
             for d in range(window):
                 zr = z0 + d
                 wz = jnp.maximum(1.0 - jnp.abs(p1 - zr.astype(jnp.float32)), 0.0)
-                row0 = jnp.broadcast_to(win[d * H][None, :], (SUB, LANE))
-                g = jnp.take_along_axis(row0, idx_lo, axis=1)
-                if H > 1:
-                    row1 = jnp.broadcast_to(win[d * H + 1][None, :], (SUB, LANE))
-                    g = jnp.where(in_lo, g, jnp.take_along_axis(row1, idx_hi, axis=1))
+                g = _gather_halves(
+                    lambda h: jnp.broadcast_to(win[d * H + h][None, :], (SUB, LANE)),
+                    idx, H,
+                )
                 lo, hi = _unpack(g)
                 v = lo + fx * (hi - lo)
                 w = jnp.where(valid & (zr < Wd), wz * w_alpha, 0.0)
@@ -561,9 +564,6 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
 
         idx = jnp.clip(p2.astype(jnp.int32), 0, L - 2 if L > 1 else 0)
         fx = jnp.clip(p2 - idx.astype(jnp.float32), 0.0, 1.0)
-        in_lo = idx < LANE
-        idx_lo = jnp.where(in_lo, idx, 0)
-        idx_hi = jnp.clip(idx - LANE, 0, LANE - 1)
 
         def accumulate_B(_):
             B = jnp.zeros_like(s0)
@@ -577,11 +577,10 @@ def _kernel_bwd(s0, s1, s2, d0, d1, d2, ws, g, table,
                 inside_row = (jnp.abs(diff) < 1.0) & valid
                 wz = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
                 dtri = -jnp.sign(diff)
-                row0 = jnp.broadcast_to(win[dwin * H][None, :], (SUB, LANE))
-                gat = jnp.take_along_axis(row0, idx_lo, axis=1)
-                if H > 1:
-                    row1 = jnp.broadcast_to(win[dwin * H + 1][None, :], (SUB, LANE))
-                    gat = jnp.where(in_lo, gat, jnp.take_along_axis(row1, idx_hi, axis=1))
+                gat = _gather_halves(
+                    lambda h: jnp.broadcast_to(win[dwin * H + h][None, :], (SUB, LANE)),
+                    idx, H,
+                )
                 lo, hi = _unpack(gat)
                 val = lo + fx * (hi - lo)
                 mask = inside_row.astype(jnp.float32)

@@ -63,6 +63,7 @@ def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTr
     meta_fields=[
         "detector", "renderer", "labels", "n_samples", "voxel_shift",
         "pallas_perm", "pallas_window", "pallas_remap",
+        "shearwarp_window", "shearwarp_grid",
     ],
 )
 @dataclass(frozen=True)
@@ -83,6 +84,11 @@ class Projector:
     # (in-graph argsort + unsort); shrinks the window ~3x under roll/skew on
     # large detectors. Chosen automatically by tuned_for()/with_pallas().
     pallas_remap: bool = False
+    # shear-warp (MXU) renderer metadata: the final warp's per-tile slope-row
+    # window and the slope-grid resolution (None = detector-derived default).
+    # Set via with_shearwarp().
+    shearwarp_window: int = 48
+    shearwarp_grid: tuple[int, int] | None = None
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -218,6 +224,77 @@ class Projector:
                 proj = proj.tuned_for(probes)
         return proj
 
+    def with_shearwarp(
+        self,
+        reference_pose=None,
+        probe_poses=None,
+        differentiable: bool = True,
+        grid_shape: tuple[int, int] | None = None,
+        quantum: int = 8,
+    ) -> "Projector":
+        """Switch the trilinear renderer to the shear-warp MXU fast path.
+
+        ``differentiable=True`` selects ``trilinear_fast`` (shear-warp forward
+        + slab-kernel analytic backward — the pairing validated in
+        tests/test_shearwarp.py); False selects the forward-only
+        ``trilinear_shearwarp``. Like :meth:`with_pallas`, the volume-axis
+        permutation and the static gather windows are fixed host-side from a
+        representative pose; probe poses should bracket the poses that will be
+        rendered (an undersized warp window silently clips). Falls back to
+        ``self`` unchanged (XLA path) when probe rays exceed ~45 degrees of
+        the march axis. Labelmap channel rendering is dispatched to the slab
+        kernel (the shear-warp path has no channel mode).
+        """
+        from .pallas import choose_permutation_for_pose, measured_steepness
+        from .shearwarp import measured_warp_window
+
+        import numpy as np
+
+        if reference_pose is not None:
+            oriented = self._oriented(_batched(reference_pose))
+            R = np.asarray(jax.device_get(oriented.R)).reshape(-1, 3, 3).mean(axis=0)
+        else:
+            R = np.asarray(
+                jax.device_get(orientation_transform(self.volume.orientation).R)
+            )
+        perm = choose_permutation_for_pose(
+            R, np.asarray(jax.device_get(self.affine_inverse))
+        )
+        proj = self.replace(
+            renderer="trilinear_fast" if differentiable else "trilinear_shearwarp",
+            pallas_perm=perm,
+            pallas_remap=False,
+            shearwarp_grid=tuple(int(x) for x in grid_shape) if grid_shape else None,
+        )
+        probes = probe_poses if probe_poses is not None else reference_pose
+        if probes is not None:
+            src, tgt = proj.rays(_batched(probes))
+            args = (
+                np.asarray(jax.device_get(src)),
+                np.asarray(jax.device_get(tgt)),
+                np.asarray(jax.device_get(proj.affine_inverse)),
+                perm,
+            )
+            if measured_steepness(*args) > 1.2:
+                print(
+                    "with_shearwarp: rays exceed 45deg of the march axis; "
+                    "keeping the XLA renderer",
+                    flush=True,
+                )
+                return self
+            ww = measured_warp_window(
+                *args,
+                (self.detector.height, self.detector.width),
+                proj.shearwarp_grid,
+            )
+            proj = proj.replace(shearwarp_window=int(-(-ww // quantum) * quantum))
+            if differentiable:
+                slab_w = proj.replace(renderer="trilinear_pallas").measure_window(
+                    probes, quantum
+                )
+                proj = proj.replace(pallas_window=slab_w)
+        return proj
+
     def tuned_for(self, poses, quantum: int = 8) -> "Projector":
         """Re-measure the Pallas window for these poses and pick the cheaper
         ray layout: detector tiles, or the sorted remap when it shrinks the
@@ -292,6 +369,16 @@ class Projector:
             raise ValueError("pack_for_pallas requires pallas_perm (use with_pallas)")
         return pack_density(density, self.pallas_perm)
 
+    def prepare_for_shearwarp(self, density: jnp.ndarray | None = None):
+        """Pre-permute/cast a density grid for the shear-warp renderer (hoist
+        out of optimization loops; pass via render_rays/__call__ ``prepared``)."""
+        from .shearwarp import prepare_shearwarp
+
+        density = self.density if density is None else density
+        if self.pallas_perm is None:
+            raise ValueError("prepare_for_shearwarp requires pallas_perm (use with_shearwarp)")
+        return prepare_shearwarp(density, self.pallas_perm)
+
     def render_rays(
         self,
         source: jnp.ndarray,
@@ -299,6 +386,7 @@ class Projector:
         density: jnp.ndarray | None = None,
         mask: jnp.ndarray | None = None,
         packed=None,
+        prepared=None,
     ) -> jnp.ndarray:
         """Integrate rays given world-space endpoints.
 
@@ -308,6 +396,41 @@ class Projector:
         density = self.density if density is None else density
         mask = self.volume.mask if mask is None else mask
         labels = self.labels if mask is not None else None
+        if self.renderer in ("trilinear_shearwarp", "trilinear_fast"):
+            if labels is not None:
+                # channel rendering: shear-warp has no channel mode; use the
+                # slab kernel's channel path at the measured slab window
+                from .pallas import raymarch_trilinear_pallas
+
+                return raymarch_trilinear_pallas(
+                    density, self.affine_inverse, source, target,
+                    n_samples=self.n_samples, mask=mask, labels=labels,
+                    det_shape=(self.detector.height, self.detector.width),
+                    window=self.pallas_window,
+                    perm=self.pallas_perm,
+                    packed=packed,
+                    remap=self.pallas_remap,
+                )
+            from .shearwarp import (
+                raymarch_trilinear_fast,
+                raymarch_trilinear_shearwarp,
+            )
+
+            kwargs = dict(
+                det_shape=(self.detector.height, self.detector.width),
+                perm=self.pallas_perm,
+                prepared=prepared,
+                grid_shape=self.shearwarp_grid,
+                warp_window=self.shearwarp_window,
+            )
+            if self.renderer == "trilinear_fast":
+                return raymarch_trilinear_fast(
+                    density, self.affine_inverse, source, target,
+                    packed=packed, slab_window=self.pallas_window, **kwargs,
+                )
+            return raymarch_trilinear_shearwarp(
+                density, self.affine_inverse, source, target, **kwargs
+            )
         if self.renderer in ("trilinear", "trilinear_pallas"):
             if self.renderer == "trilinear_pallas":
                 from .pallas import raymarch_trilinear_pallas
@@ -355,12 +478,15 @@ class Projector:
         mask: jnp.ndarray | None = None,
         calibration=None,
         packed=None,
+        prepared=None,
     ) -> jnp.ndarray:
         """Render DRRs at a batch of poses -> (B, C, H, W)."""
         squeeze = pose.matrix.ndim == 2
         if squeeze:
             pose = RigidTransform(pose.matrix[None])
         source, target = self.rays(pose, calibration)
-        img = self.render_rays(source, target, density=density, mask=mask, packed=packed)
+        img = self.render_rays(
+            source, target, density=density, mask=mask, packed=packed, prepared=prepared
+        )
         img = self.reshape_transform(img, batch_size=pose.matrix.shape[0])
         return img[0] if squeeze else img

@@ -192,40 +192,62 @@ class Trainer:
             )
             xyzs = jnp.asarray(t_corners * len(rot_corners), jnp.float32)
             probes = _convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
-            # window=48 skips per-projector auto-tuning; the step is compiled
-            # ONCE for all subjects, so the layout/window must be unified from
-            # worst-case measurements across every subject below
-            upgraded = [
-                p.with_pallas(ref, probe_poses=probes, window=48)
-                for p in self.projectors
-            ]
-            perms = {p.pallas_perm for p in upgraded}
-            if all(p.renderer == "trilinear_pallas" for p in upgraded) and len(perms) == 1:
-                w_det = max(
-                    p.replace(pallas_remap=False).measure_window(probes)
-                    for p in upgraded
-                )
-                w_remap = max(
-                    p.replace(pallas_remap=True).measure_window(probes)
-                    for p in upgraded
-                )
-                window, use_remap = (
-                    (w_remap, True) if w_remap + 8 < w_det else (w_det, False)
-                )
-                self.projectors = [
-                    p.replace(pallas_window=window, pallas_remap=use_remap)
-                    for p in upgraded
+            # The step is compiled ONCE for all subjects, so the kernel
+            # layout/windows must be unified from worst-case measurements
+            # across every subject.
+            if labels is None and mesh is None:
+                # single-channel: shear-warp MXU forward (both renders) +
+                # slab-kernel analytic backward (the pred-pose re-render)
+                upgraded = [
+                    p.with_shearwarp(ref, probe_poses=probes)
+                    for p in self.projectors
                 ]
-                print(
-                    f"Using Pallas trilinear kernel (measured window={window}, "
-                    f"remap={use_remap})",
-                    flush=True,
-                )
-            elif len(perms) > 1:
-                print(
-                    "Pallas disabled: subjects disagree on the march-axis "
-                    f"permutation {sorted(perms)}", flush=True,
-                )
+                perms = {p.pallas_perm for p in upgraded}
+                if all(p.renderer == "trilinear_fast" for p in upgraded) and len(perms) == 1:
+                    slab_w = max(p.pallas_window for p in upgraded)
+                    warp_w = max(p.shearwarp_window for p in upgraded)
+                    self.projectors = [
+                        p.replace(pallas_window=slab_w, shearwarp_window=warp_w)
+                        for p in upgraded
+                    ]
+                    print(
+                        f"Using shear-warp MXU renderer (slab window={slab_w}, "
+                        f"warp window={warp_w})",
+                        flush=True,
+                    )
+            else:
+                # labelmap channel rendering / ray-sharded meshes: slab kernel
+                upgraded = [
+                    p.with_pallas(ref, probe_poses=probes, window=48)
+                    for p in self.projectors
+                ]
+                perms = {p.pallas_perm for p in upgraded}
+                if all(p.renderer == "trilinear_pallas" for p in upgraded) and len(perms) == 1:
+                    w_det = max(
+                        p.replace(pallas_remap=False).measure_window(probes)
+                        for p in upgraded
+                    )
+                    w_remap = max(
+                        p.replace(pallas_remap=True).measure_window(probes)
+                        for p in upgraded
+                    )
+                    window, use_remap = (
+                        (w_remap, True) if w_remap + 8 < w_det else (w_det, False)
+                    )
+                    self.projectors = [
+                        p.replace(pallas_window=window, pallas_remap=use_remap)
+                        for p in upgraded
+                    ]
+                    print(
+                        f"Using Pallas trilinear kernel (measured window={window}, "
+                        f"remap={use_remap})",
+                        flush=True,
+                    )
+                elif len(perms) > 1:
+                    print(
+                        "Pallas disabled: subjects disagree on the march-axis "
+                        f"permutation {sorted(perms)}", flush=True,
+                    )
 
         # ---- model ----
         import os as _os2
@@ -343,18 +365,27 @@ class Trainer:
             # Random bone contrast (trainer.py:124,196)
             contrast = jax.random.uniform(k_contrast, (), minval=1.0, maxval=10.0)
             density = transform_hu_to_density(projector.volume.data, contrast)
-            # pack once per step; reused by target render, pred render, and
-            # the custom-VJP backward
+            # pack/permute once per step; reused by target render, pred
+            # render, and the custom-VJP backward
+            ren = projector.renderer
             packed = (
                 projector.pack_for_pallas(density)
-                if projector.renderer == "trilinear_pallas" else None
+                if ren in ("trilinear_pallas", "trilinear_fast") else None
+            )
+            prepared = (
+                projector.prepare_for_shearwarp(density)
+                if ren in ("trilinear_fast", "trilinear_shearwarp")
+                and projector.labels is None
+                else None
             )
 
             # Target DRRs (no gradient; trainer.py:199-205)
             src, tgt = projector.rays(pose)
             if mesh is not None:
                 tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
-            raw = projector.render_rays(src, tgt, density=density, packed=packed)
+            raw = projector.render_rays(
+                src, tgt, density=density, packed=packed, prepared=prepared
+            )
             raw = projector.reshape_transform(raw, batch_size)  # (B, C, H, W)
             raw = jax.lax.stop_gradient(raw)
             fg = (raw > 0).astype(raw.dtype)
@@ -378,7 +409,9 @@ class Trainer:
                 psrc, ptgt = projector.rays(pred_pose)
                 if mesh is not None:
                     ptgt = shard_rays(mesh, ptgt)
-                praw = projector.render_rays(psrc, ptgt, density=density, packed=packed)
+                praw = projector.render_rays(
+                    psrc, ptgt, density=density, packed=packed, prepared=prepared
+                )
                 praw = projector.reshape_transform(praw, batch_size)
                 pfg = (praw > 0).astype(praw.dtype)
                 pimg = jnp.sum(praw, axis=1, keepdims=True)
