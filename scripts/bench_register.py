@@ -85,7 +85,10 @@ def main():
         "euler_angles", "ZXY", degrees=True,
     )
     t0 = time.perf_counter()
-    gt_proj = proj.with_pallas(gt_pose) if jax.default_backend() == "tpu" else proj
+    gt_proj = (
+        proj.with_shearwarp(gt_pose, differentiable=False)
+        if jax.default_backend() == "tpu" else proj
+    )
     img = np.asarray(gt_proj(gt_pose))[0, 0]
     log(f"GT render 1436^2: {time.perf_counter() - t0:.1f}s ({gt_proj.renderer})")
     dcmwrite(

@@ -151,4 +151,4 @@ def test_projector_with_shearwarp():
 def test_default_grid_shape_bounds():
     assert default_grid_shape((256, 256)) == (256, 256)
     assert default_grid_shape((100, 100)) == (128, 128)
-    assert default_grid_shape((1436, 1436))[1] <= 512
+    assert default_grid_shape((1436, 1436)) == (1536, 1536)

@@ -176,18 +176,22 @@ class RegistrarBase:
             return s[0]
 
         use_pallas = projector.renderer == "trilinear_pallas"
+        use_fast = projector.renderer == "trilinear_fast"
 
-        def loss_fn(rot, xyz, gt, density, packed):
+        def loss_fn(rot, xyz, gt, density, packed, prepared):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
-            img = projector(pose, density=density, packed=packed)
+            img = projector(pose, density=density, packed=packed, prepared=prepared)
             return imagesim(gt, transform(img))
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
         @jax.jit
         def stage(rot, xyz, gt, density, lr_rot, lr_xyz):
-            # pack the volume ONCE per stage (hoisted out of the while_loop)
+            # pack/permute the volume ONCE per stage (hoisted out of the
+            # while_loop); the fast renderer needs both layouts (shear-warp
+            # slices forward, pair-packed table for the analytic backward)
             packed = projector.pack_for_pallas(density) if use_pallas else None
+            prepared = projector.prepare_for_shearwarp(density) if use_fast else None
             # Adam moments
             m_r = jnp.zeros_like(rot); v_r = jnp.zeros_like(rot)
             m_x = jnp.zeros_like(xyz); v_x = jnp.zeros_like(xyz)
@@ -217,7 +221,7 @@ class RegistrarBase:
             def body(s):
                 i = s["itr"]
                 t = (i + 1).astype(rot.dtype)
-                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density, packed)
+                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density, packed, prepared)
 
                 def adam(p, m, v, g, lr):
                     m = b1 * m + (1 - b1) * g
@@ -260,7 +264,7 @@ class RegistrarBase:
                 )
 
             out = jax.lax.while_loop(cond, body, state)
-            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed)
+            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed, prepared)
             return (
                 out["rot"], out["xyz"], out["itr"],
                 out["traj"], out["nccs"], out["lrs"], final_ncc,
@@ -298,9 +302,30 @@ class RegistrarBase:
                     convention=self.convention,
                 )
                 proj = proj.tuned_for(_drift_probes(pose_now), quantum=16)
+            elif proj.renderer == "trilinear_fast":
+                # per-stage warp window for the shear-warp forward (the
+                # analytic adjoint backward shares its geometry)
+                from ..render.shearwarp import measured_warp_window
+
+                pose_now = convert(
+                    rot, xyz, parameterization=self.parameterization,
+                    convention=self.convention,
+                )
+                probes = _drift_probes(pose_now)
+                src_p, tgt_p = proj.rays(probes)
+                warp_w = measured_warp_window(
+                    np.asarray(jax.device_get(src_p)),
+                    np.asarray(jax.device_get(tgt_p)),
+                    np.asarray(jax.device_get(proj.affine_inverse)),
+                    proj.pallas_perm,
+                    (proj.detector.height, proj.detector.width),
+                    proj.shearwarp_grid,
+                )
+                proj = proj.replace(shearwarp_window=int(-(-warp_w // 16) * 16))
             key = (
                 proj.detector, proj.renderer, proj.pallas_perm,
-                proj.pallas_window, proj.pallas_remap, n_itr, imagesim_cfg,
+                proj.pallas_window, proj.pallas_remap,
+                proj.shearwarp_window, proj.shearwarp_grid, n_itr, imagesim_cfg,
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
@@ -360,13 +385,26 @@ class RegistrarBase:
         ):
             # decide march axis + check the 45deg regime on the coarsest stage
             # (cheap rays); exact windows are re-measured per pyramid stage
-            coarse = self.projector.rescale_detector(scales[0]).with_pallas(init_pose)
-            if coarse.renderer == "trilinear_pallas":
-                self.projector = self.projector.replace(
-                    renderer="trilinear_pallas",
-                    pallas_perm=coarse.pallas_perm,
-                    pallas_window=coarse.pallas_window,
+            if not _os.environ.get("XVR_NO_SHEARWARP"):
+                # shear-warp MXU forward + slab-kernel analytic backward
+                coarse = self.projector.rescale_detector(scales[0]).with_shearwarp(
+                    init_pose
                 )
+                if coarse.renderer == "trilinear_fast":
+                    self.projector = self.projector.replace(
+                        renderer="trilinear_fast",
+                        pallas_perm=coarse.pallas_perm,
+                        pallas_window=coarse.pallas_window,
+                        pallas_remap=False,
+                    )
+            if self.projector.renderer == "trilinear":
+                coarse = self.projector.rescale_detector(scales[0]).with_pallas(init_pose)
+                if coarse.renderer == "trilinear_pallas":
+                    self.projector = self.projector.replace(
+                        renderer="trilinear_pallas",
+                        pallas_perm=coarse.pallas_perm,
+                        pallas_window=coarse.pallas_window,
+                    )
 
         if self.init_only:
             proj = self.projector.rescale_detector(scales[0])

@@ -288,11 +288,6 @@ class Projector:
                 proj.shearwarp_grid,
             )
             proj = proj.replace(shearwarp_window=int(-(-ww // quantum) * quantum))
-            if differentiable:
-                slab_w = proj.replace(renderer="trilinear_pallas").measure_window(
-                    probes, quantum
-                )
-                proj = proj.replace(pallas_window=slab_w)
         return proj
 
     def tuned_for(self, poses, quantum: int = 8) -> "Projector":

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas import LANE, SUB, _gather_halves, _pack_pairs, _unpack
 
-MAX_LANE_HALVES = 4  # warp gather reaches Iv <= MAX_LANE_HALVES * 128
+MAX_LANE_HALVES = 12  # warp gather reaches Iv <= MAX_LANE_HALVES * 128 (1536)
 
 
 def prepare_shearwarp(density: jnp.ndarray, perm: tuple[int, int, int]) -> jnp.ndarray:
@@ -157,6 +157,74 @@ def _warp_kernel(uc, vc, ws, table, out, *, Iu, Iv, H, window):
     out[0] = acc * ws_
 
 
+def _warp_grads_kernel(uc, vc, ws, table, out, dudref, dvdref, *, Iu, Iv, H, window):
+    """Warp + partials: (bilerp, d bilerp/d uc, d bilerp/d vc) per pixel.
+
+    Same gather structure as :func:`_warp_kernel`; ``ws`` participates only in
+    the validity mask (the path-length scale is applied by the caller)."""
+    u_, v_, ws_ = uc[0], vc[0], ws[0]
+    valid = (u_ > -1.0) & (u_ < Iu) & (v_ >= 0.0) & (v_ <= Iv - 1.0) & (ws_ > 0.0)
+    u_for_min = jnp.where(valid, u_, 3.4e38)
+    z0 = jnp.floor(jnp.min(u_for_min)).astype(jnp.int32)
+    z0 = jnp.clip(z0, 0, max(Iu - window, 0))
+
+    idx = jnp.clip(v_.astype(jnp.int32), 0, Iv - 2 if Iv > 1 else 0)
+    fx = jnp.clip(v_ - idx.astype(jnp.float32), 0.0, 1.0)
+
+    win = table[pl.ds(z0 * H, window * H), :]
+    acc = jnp.zeros((SUB, LANE), jnp.float32)
+    dua = jnp.zeros((SUB, LANE), jnp.float32)
+    dva = jnp.zeros((SUB, LANE), jnp.float32)
+    vmask = valid.astype(jnp.float32)
+    for d in range(window):
+        zr = z0 + d
+        diff = u_ - zr.astype(jnp.float32)
+        wz = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+        dz = jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+        g = _gather_halves(
+            lambda h: jnp.broadcast_to(win[d * H + h][None, :], (SUB, LANE)),
+            idx, H,
+        )
+        lo, hi = _unpack(g)
+        val = lo + fx * (hi - lo)
+        acc = acc + vmask * wz * val
+        dua = dua + vmask * dz * val
+        dva = dva + vmask * wz * (hi - lo)
+    out[0] = acc
+    dudref[0] = dua
+    dvdref[0] = dva
+
+
+@partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret"))
+def _warp_with_grads(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret):
+    """(bilerp, d/duc, d/dvc) each (B, Hd * Wdet); no ws scaling applied."""
+    B = I.shape[0]
+    Iu, Iv = grid_shape
+    Hd, Wdet = det_shape
+    H = -(-Iv // LANE)
+    if H > MAX_LANE_HALVES:
+        raise ValueError(f"slope grid lane extent {Iv} > {MAX_LANE_HALVES * LANE}")
+    table = _pack_pairs(I)
+    Hp, Wp = -(-Hd // SUB) * SUB, -(-Wdet // LANE) * LANE
+
+    def prep(x):
+        x = x.reshape(B, Hd, Wdet)
+        return jnp.pad(x, ((0, 0), (0, Hp - Hd), (0, Wp - Wdet)))
+
+    ray_spec = pl.BlockSpec((1, SUB, LANE), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((Iu * H, LANE), lambda b, i, j: (b, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_warp_grads_kernel, Iu=Iu, Iv=Iv, H=H, window=window),
+        grid=(B, Hp // SUB, Wp // LANE),
+        in_specs=[ray_spec] * 3 + [tab_spec],
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(prep(uc), prep(vc), prep(ws), table)
+    return tuple(o[:, :Hd, :Wdet].reshape(B, Hd * Wdet) for o in outs)
+
+
 @partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret"))
 def _warp(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret):
     """Warp slope image I (B, Iu, Iv) to the detector: (B, Hd * Wdet)."""
@@ -230,9 +298,9 @@ def _shearwarp_from_fields(
 
 def default_grid_shape(det_shape: tuple[int, int]) -> tuple[int, int]:
     """Slope-grid resolution for a detector: detector-matched, padded to the
-    MXU-friendly 128 quantum, capped at the warp gather's 512-lane reach."""
+    MXU-friendly 128 quantum, capped at the warp gather's lane reach."""
     Hd, Wdet = det_shape
-    Iu = min(max(-(-Hd // 128) * 128, 128), 1024)
+    Iu = min(max(-(-Hd // 128) * 128, 128), 1536)
     Iv = min(max(-(-Wdet // 128) * 128, 128), MAX_LANE_HALVES * LANE)
     return Iu, Iv
 
@@ -322,14 +390,146 @@ def measured_warp_window(
     return int(np.ceil(span)) + 3
 
 
+@partial(jax.jit, static_argnames=("grid_shape", "det_shape", "row_chunk"))
+def _warp_transpose(gw, uc, vc, *, grid_shape, det_shape, row_chunk: int = 8):
+    """Adjoint of the bilinear warp: scatter detector cotangents to the grid.
+
+    I_bar[b, i, j] = sum_p gw[p] hat(uc[p] - i) hat(vc[p] - j), computed as
+    row-chunked dense matmuls (the same trick as the forward: the hat
+    matrices are 2-banded but MXU FLOPs beat scatters by orders of
+    magnitude). ~Iu * R * Iv * 2 FLOPs — about half a forward accumulate.
+    """
+    Iu, Iv = grid_shape
+    Hd, Wdet = det_shape
+    B = gw.shape[0]
+    f32 = jnp.float32
+    iu = jnp.arange(Iu, dtype=f32)
+    iv = jnp.arange(Iv, dtype=f32)
+    nchunks = -(-Hd // row_chunk)
+    pad = nchunks * row_chunk - Hd
+
+    def prep(x):
+        x = x.reshape(B, Hd, Wdet)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x.reshape(B, nchunks, row_chunk * Wdet)
+
+    gw_, uc_, vc_ = prep(gw), prep(uc), prep(vc)
+    # zero padded rows through gw (uc/vc padding lands on hat support 0 anyway
+    # only if outside the grid — force it via the weight instead)
+    if pad:
+        mask = jnp.zeros((nchunks, row_chunk), f32).at[:-1].set(1.0)
+        mask = mask.at[-1, : row_chunk - pad].set(1.0)
+        gw_ = gw_ * jnp.repeat(mask.reshape(1, nchunks, row_chunk), Wdet, axis=-1).reshape(
+            1, nchunks, row_chunk * Wdet
+        )
+
+    def body(acc, args):
+        g_c, u_c, v_c = args  # (B, RC*Wdet)
+        Hu = jnp.maximum(1.0 - jnp.abs(u_c[..., None] - iu), 0.0).astype(jnp.bfloat16)
+        Hv = jnp.maximum(1.0 - jnp.abs(v_c[..., None] - iv), 0.0).astype(jnp.bfloat16)
+        Hu = Hu * g_c[..., None].astype(jnp.bfloat16)
+        acc = acc + jnp.einsum("bpi,bpj->bij", Hu, Hv, preferred_element_type=f32)
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        body,
+        jnp.zeros((B, Iu, Iv), f32),
+        (gw_.transpose(1, 0, 2), uc_.transpose(1, 0, 2), vc_.transpose(1, 0, 2)),
+    )
+    return acc
+
+
+@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll"))
+def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8):
+    """d<I_bar, accumulate(...)>/d s_p — the analytic adjoint of
+    :func:`_accumulate` w.r.t. the (permuted) source position.
+
+    Mirrors the forward slab scan with 4 matmuls per slab (~2x forward cost)
+    and no saved intermediates. The slope GRID (u0/du/v0/dv) and the
+    forward-side weight w_k are treated as constants: the grid is a sampling
+    choice, and w_k is 0/1 for every in-volume slab whenever the source lies
+    outside the volume (C-arm geometry), so their subgradients vanish.
+    Returns g_s (B, 3).
+    """
+    M, Wd, L = vol.shape
+    B = s_p.shape[0]
+    f32 = jnp.float32
+    iu = jnp.arange(Iu, dtype=f32)
+    iv = jnp.arange(Iv, dtype=f32)
+    iw = jnp.arange(Wd, dtype=f32)
+    il = jnp.arange(L, dtype=f32)
+    u = u0[:, None] + du[:, None] * iu  # (B, Iu)
+    v = v0[:, None] + dv[:, None] * iv  # (B, Iv)
+    s0, s1, s2 = s_p[:, 0], s_p[:, 1], s_p[:, 2]
+
+    nsteps = -(-M // unroll)
+    padM = nsteps * unroll - M
+    volp = jnp.pad(vol, ((0, padM), (0, 0), (0, 0))) if padM else vol
+    Ibar16 = Ibar.astype(jnp.bfloat16)
+
+    def body(carry, kc):
+        g0, g1, g2 = carry
+        chunk = jax.lax.dynamic_slice_in_dim(volp, kc * unroll, unroll, axis=0)
+        for kk in range(unroll):
+            k = (kc * unroll + kk).astype(f32)
+            c = k - s0
+            wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)  # 0/1 for in-volume slabs
+            w_pos = s1[:, None] + c[:, None] * u
+            l_pos = s2[:, None] + c[:, None] * v
+            dwu = w_pos[..., None] - iw  # (B, Iu, Wd)
+            dlv = l_pos[..., None] - il  # (B, Iv, L)
+            h = jnp.maximum(1.0 - jnp.abs(dwu), 0.0).astype(jnp.bfloat16)
+            hp = jnp.where(jnp.abs(dwu) < 1.0, -jnp.sign(dwu), 0.0).astype(jnp.bfloat16)
+            bl = jnp.maximum(1.0 - jnp.abs(dlv), 0.0).astype(jnp.bfloat16)
+            blp = jnp.where(jnp.abs(dlv) < 1.0, -jnp.sign(dlv), 0.0).astype(jnp.bfloat16)
+            S = chunk[kk]
+            # dA path: GA = Ibar @ Bl @ S^T; g_wpos = wk * sum_w GA * hat'
+            R1 = jnp.einsum("bij,bjl->bil", Ibar16, bl, preferred_element_type=f32)
+            GA = jnp.einsum("bil,wl->biw", R1.astype(jnp.bfloat16), S, preferred_element_type=f32)
+            g_wpos = wk[:, None] * jnp.einsum(
+                "biw,biw->bi", GA, hp.astype(f32), preferred_element_type=f32
+            )
+            # dB path: GB = Ibar^T @ (A @ S); g_lpos = sum_l GB * hat'
+            T2 = jnp.einsum("biw,wl->bil", h, S, preferred_element_type=f32)
+            GB = jnp.einsum("bij,bil->bjl", Ibar16, T2.astype(jnp.bfloat16), preferred_element_type=f32)
+            g_lpos = wk[:, None] * jnp.einsum(
+                "bjl,bjl->bj", GB, blp.astype(f32), preferred_element_type=f32
+            )
+            g1 = g1 + jnp.sum(g_wpos, axis=1)
+            g2 = g2 + jnp.sum(g_lpos, axis=1)
+            g0 = g0 - jnp.einsum("bi,bi->b", g_wpos, u) - jnp.einsum("bj,bj->b", g_lpos, v)
+        return (g0, g1, g2), None
+
+    zero = jnp.zeros((B,), f32)
+    (g0, g1, g2), _ = jax.lax.scan(
+        body, (zero, zero, zero), jnp.arange(nsteps, dtype=jnp.int32)
+    )
+    return jnp.stack([g0, g1, g2], axis=-1)
+
+
 # ---------------------------------------------------------------------------
-# Fast differentiable path: shear-warp forward + slab-kernel analytic backward
+# Fast differentiable path: shear-warp forward + analytic adjoint backward
+# (or the slab kernel's VJP, selectable)
 # ---------------------------------------------------------------------------
+
+
+def _slope_pieces(d_p, Iu, Iv):
+    """Per-ray slopes + the (stop-gradient) grid transform and coordinates."""
+    safe_d0 = jnp.where(jnp.abs(d_p[..., 0]) < 1e-6, 1e-6, d_p[..., 0])
+    u = d_p[..., 1] / safe_d0
+    v = d_p[..., 2] / safe_d0
+    u0, du = _grid_transform(jnp.min(u, axis=1), jnp.max(u, axis=1), Iu)
+    v0, dv = _grid_transform(jnp.min(v, axis=1), jnp.max(v, axis=1), Iv)
+    u0, du, v0, dv = map(jax.lax.stop_gradient, (u0, du, v0, dv))
+    uc = (u - u0[:, None]) / du[:, None]
+    vc = (v - v0[:, None]) / dv[:, None]
+    return safe_d0, u, v, u0, du, v0, dv, uc, vc
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fast(cfg, prepared, packed_table, affine_inverse, source, target):
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     return _shearwarp_from_fields(
         prepared, s_p, d_p, wscale,
@@ -339,30 +539,72 @@ def _fast(cfg, prepared, packed_table, affine_inverse, source, target):
 
 
 def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
-    out = _fast(cfg, prepared, packed_table, affine_inverse, source, target)
-    return out, (packed_table, affine_inverse, source, target)
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward = cfg
+    s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
+    Iu, Iv = grid_shape
+    _, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
+    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+    I = _accumulate(
+        prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll
+    )
+    out = _warp(
+        I, uc, vc, wscale,
+        det_shape=det_shape, grid_shape=grid_shape,
+        window=warp_window, interpret=interpret,
+    )
+    return out, (prepared, packed_table, affine_inverse, source, target, I)
 
 
 def _fast_bwd(cfg, res, g):
-    """Pull the cotangent back through the slab kernel's analytic VJP.
+    """Analytic backward for the shear-warp forward.
 
-    The slab renderer discretizes the same integral (one sample per march
-    plane, hat-weighted transverse interpolation), so its gradient is a
-    consistent O(h^2) gradient for the shear-warp forward — at ~2x a slab
-    forward instead of an XLA scatter chain.
+    ``backward="shearwarp"`` (default) is the exact adjoint of the forward
+    (modulo the stop-gradient slope-grid transform and the 0/1 forward-side
+    weight): warp partials from a Pallas pass, the warp transpose as
+    row-chunked matmuls, and the slab-scan adjoint for the source position —
+    ~3x a forward, all on the MXU. ``backward="slab"`` routes through the
+    slab kernel's VJP instead (the O(h^2)-consistent gradient of the same
+    integral; useful as a cross-check).
     """
-    from .pallas import _core_bwd
-
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream = cfg
-    packed_table, affine_inverse, source, target = res
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward = cfg
+    prepared, packed_table, affine_inverse, source, target, I = res
     (s_p, d_p, wscale), light_vjp = jax.vjp(
         lambda src, tgt: _decompose(affine_inverse, src, tgt, perm), source, target
     )
-    _, g_s, g_d, g_ws = _core_bwd(
-        (det_shape, vol_shape, slab_window, interpret, stream),
-        (packed_table, s_p, d_p, wscale),
-        g,
+
+    if backward == "slab":
+        from .pallas import _core_bwd
+
+        _, g_s, g_d, g_ws = _core_bwd(
+            (det_shape, vol_shape, slab_window, interpret, stream),
+            (packed_table, s_p, d_p, wscale),
+            g,
+        )
+        g_src, g_tgt = light_vjp((g_s, g_d, g_ws))
+        return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt
+
+    Iu, Iv = grid_shape
+    safe_d0, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
+    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+    bil, dWdu, dWdv = _warp_with_grads(
+        I, uc, vc, wscale,
+        det_shape=det_shape, grid_shape=grid_shape,
+        window=warp_window, interpret=interpret,
     )
+    g_ws = g * bil
+    gw = g * wscale
+    g_uc = gw * dWdu
+    g_vc = gw * dWdv
+    Ibar = _warp_transpose(gw, uc, vc, grid_shape=grid_shape, det_shape=det_shape)
+    g_s_scalar = _accumulate_adjoint(
+        prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Ibar,
+        Iu=Iu, Iv=Iv, unroll=unroll,
+    )
+    g_u = g_uc / du[:, None]
+    g_v = g_vc / dv[:, None]
+    g_d0 = -(g_u * d_p[..., 1] + g_v * d_p[..., 2]) / (safe_d0 * safe_d0)
+    g_d = jnp.stack([g_d0, g_u / safe_d0, g_v / safe_d0], axis=-1)
+    g_s = jnp.zeros_like(s_p).at[:, 0, :].set(g_s_scalar)
     g_src, g_tgt = light_vjp((g_s, g_d, g_ws))
     return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt
 
@@ -384,20 +626,22 @@ def raymarch_trilinear_fast(
     slab_window: int = 32,
     unroll: int = 8,
     interpret: bool | None = None,
+    backward: str = "shearwarp",
 ) -> jnp.ndarray:
-    """Differentiable fast trilinear render: shear-warp (MXU) forward,
-    slab-kernel (analytic Pallas) backward w.r.t. source/target.
+    """Differentiable fast trilinear render, MXU forward AND backward.
 
-    ``packed`` is the slab kernel's pair-packed table from
-    :func:`xvr_tpu.render.pallas.pack_density` (built on demand otherwise);
-    ``prepared`` the permuted bf16 volume from :func:`prepare_shearwarp`.
-    ``slab_window`` must satisfy the slab kernel's window contract for these
-    poses (see ``Projector.measure_window``).
+    ``backward="shearwarp"`` (default) uses the analytic shear-warp adjoint —
+    the exact gradient of the forward, ~3x a forward's cost.
+    ``backward="slab"`` routes through the slab Pallas kernel's VJP instead
+    (needs ``packed``, the pair-packed table from
+    :func:`xvr_tpu.render.pallas.pack_density`, and a valid ``slab_window``
+    for these poses — see ``Projector.measure_window``). ``prepared`` is the
+    permuted bf16 volume from :func:`prepare_shearwarp`.
     """
-    from .pallas import STREAM_THRESHOLD, pack_density, packed_table_bytes
-
     if source.shape[-2] != 1:
         raise ValueError("shear-warp requires a point source: source (B, 1, 3)")
+    if backward not in ("shearwarp", "slab"):
+        raise ValueError(f"unknown backward {backward!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, R = target.shape[0], target.shape[1]
@@ -416,12 +660,19 @@ def raymarch_trilinear_fast(
         perm = _choose_permutation(A[:3, :3] @ d_mean)
     if prepared is None:
         prepared = prepare_shearwarp(density, perm)
-    if packed is None:
-        packed = pack_density(density, perm)
-    packed_table, vol_shape = packed
+    vol_shape = tuple(int(x) for x in prepared.shape)
+    stream = False
+    if backward == "slab":
+        from .pallas import STREAM_THRESHOLD, pack_density, packed_table_bytes
+
+        if packed is None:
+            packed = pack_density(density, perm)
+        packed_table, vol_shape = packed
+        stream = packed_table_bytes(vol_shape) > STREAM_THRESHOLD
+    else:
+        packed_table = jnp.zeros((0,), jnp.float32)  # unused
     if grid_shape is None:
         grid_shape = default_grid_shape(det_shape)
-    stream = packed_table_bytes(vol_shape) > STREAM_THRESHOLD
     slab_window = min(int(slab_window), int(vol_shape[1]))
     cfg = (
         tuple(int(x) for x in det_shape),
@@ -433,5 +684,6 @@ def raymarch_trilinear_fast(
         int(unroll),
         bool(interpret),
         bool(stream),
+        str(backward),
     )
     return _fast(cfg, prepared, packed_table, affine_inverse, source, target)

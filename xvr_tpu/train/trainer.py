@@ -370,7 +370,7 @@ class Trainer:
             ren = projector.renderer
             packed = (
                 projector.pack_for_pallas(density)
-                if ren in ("trilinear_pallas", "trilinear_fast") else None
+                if ren == "trilinear_pallas" else None
             )
             prepared = (
                 projector.prepare_for_shearwarp(density)
