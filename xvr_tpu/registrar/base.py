@@ -106,6 +106,7 @@ class RegistrarBase:
         read_kwargs: dict | None = None,
         drr_kwargs: dict | None = None,
         save_kwargs: dict | None = None,
+        stage_warmup: int = 5,
     ):
         self.volume = volume
         self.mask = mask
@@ -139,6 +140,7 @@ class RegistrarBase:
         self.init_only = init_only
         self.saveimg = saveimg
         self.verbose = verbose
+        self.stage_warmup = stage_warmup
         self.save_kwargs = save_kwargs or {}
 
         vol = read(volume, mask, labels=labels, orientation=orientation, **self.read_kwargs)
@@ -167,6 +169,7 @@ class RegistrarBase:
         patience = self.patience
         threshold = self.threshold
         max_n_plateaus = self.max_n_plateaus
+        warmup = float(self.stage_warmup)
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def imagesim(x, y):
@@ -206,6 +209,13 @@ class RegistrarBase:
             state = dict(
                 itr=jnp.asarray(0),
                 rot=rot, xyz=xyz,
+                # best-similarity pose seen this stage: returned instead of
+                # the last pose (IMPROVEMENT over the reference, which keeps
+                # the final iterate — Adam's first fresh-moment step can kick
+                # the pose off a good optimum and a plateau exit then locks
+                # the damage in; keeping the argmax is strictly better)
+                b_rot=rot, b_xyz=xyz,
+                best_raw=jnp.asarray(-jnp.inf, rot.dtype),
                 m_r=m_r, v_r=v_r, m_x=m_x, v_x=v_x,
                 lr_scale=jnp.asarray(1.0, rot.dtype),
                 best=jnp.asarray(-jnp.inf, rot.dtype),
@@ -230,10 +240,23 @@ class RegistrarBase:
                     vhat = v / (1 - b2**t)
                     return p + lr * mhat / (jnp.sqrt(vhat) + eps), m, v  # ascent
 
-                lr_r = lr_rot * s["lr_scale"]
-                lr_x = lr_xyz * s["lr_scale"]
+                # Per-stage lr warmup (IMPROVEMENT over the reference):
+                # Adam's first steps with fresh moments move a full +-lr per
+                # component regardless of gradient magnitude, kicking a
+                # well-initialized pose off its optimum; ramping over the
+                # first few iterations removes the kick without changing the
+                # steady-state step size.
+                warm = jnp.minimum((i + 1.0) / warmup, 1.0)
+                lr_r = lr_rot * s["lr_scale"] * warm
+                lr_x = lr_xyz * s["lr_scale"] * warm
                 rot2, m_r2, v_r2 = adam(s["rot"], s["m_r"], s["v_r"], g_r, lr_r)
                 xyz2, m_x2, v_x2 = adam(s["xyz"], s["m_x"], s["v_x"], g_x, lr_x)
+
+                # argmax-pose tracking (loss is evaluated at the PRE-step pose)
+                raw_improved = loss > s["best_raw"]
+                best_raw = jnp.where(raw_improved, loss, s["best_raw"])
+                b_rot = jnp.where(raw_improved, s["rot"], s["b_rot"])
+                b_xyz = jnp.where(raw_improved, s["xyz"], s["b_xyz"])
 
                 # scheduler.step(loss)
                 improved = loss > s["best"] * (1.0 + threshold)
@@ -255,6 +278,7 @@ class RegistrarBase:
                 row = jnp.concatenate([e_rot.reshape(-1)[:3], e_xyz.reshape(-1)[:3]])
                 return dict(
                     itr=i + 1, rot=rot2, xyz=xyz2,
+                    b_rot=b_rot, b_xyz=b_xyz, best_raw=best_raw,
                     m_r=m_r2, v_r=v_r2, m_x=m_x2, v_x=v_x2,
                     lr_scale=lr_scale, best=best, num_bad=num_bad,
                     n_plateaus=n_plateaus, current_lr=current_lr,
@@ -264,9 +288,16 @@ class RegistrarBase:
                 )
 
             out = jax.lax.while_loop(cond, body, state)
-            final_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed, prepared)
+            # the loop records PRE-step losses, so the final iterate was never
+            # scored: evaluate it, and return whichever of (last, argmax) pose
+            # is actually better
+            last_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed, prepared)
+            use_last = last_ncc >= out["best_raw"]
+            rot_out = jnp.where(use_last, out["rot"], out["b_rot"])
+            xyz_out = jnp.where(use_last, out["xyz"], out["b_xyz"])
+            final_ncc = jnp.maximum(last_ncc, out["best_raw"])
             return (
-                out["rot"], out["xyz"], out["itr"],
+                rot_out, xyz_out, out["itr"],
                 out["traj"], out["nccs"], out["lrs"], final_ncc,
             )
 
