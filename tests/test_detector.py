@@ -29,6 +29,29 @@ def test_source_at_pose_translation():
     np.testing.assert_allclose(np.asarray(tgt)[0, :, 1], 700.0 - 1020.0, atol=1e-4)
 
 
+def test_carm_orbit_looks_at_origin():
+    """With xyz=(0, ty, 0), the central ray passes through the world origin
+    for EVERY rotation — the C-arm orbit implied by the reference's training
+    sweeps (scripts/femur/train/de_novo.sh r1 in [75, 270] with ty in
+    [650, 950]) and DICOM positioner geometry (io/xray.py:77-90)."""
+    det = Detector(sdd=1020.0, height=3, width=3, delx=1.0, dely=1.0)
+    alphas = [0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0]
+    betas = [0.0, -45.0, 30.0, 0.0, 10.0, -20.0, 45.0]
+    rot = jnp.array([[a, b, 0.0] for a, b in zip(alphas, betas)])
+    xyz = jnp.array([[0.0, 742.0, 0.0]] * len(alphas))
+    pose = convert(rot, xyz, parameterization="euler_angles", convention="ZXY", degrees=True)
+    src, tgt = det.rays(pose)
+    src = np.asarray(src)[:, 0]  # (B, 3)
+    ctr = np.asarray(tgt).reshape(len(alphas), 3, 3, 3)[:, 1, 1]  # central pixel
+    # source orbits at radius ty
+    np.testing.assert_allclose(np.linalg.norm(src, axis=-1), 742.0, atol=1e-3)
+    # the central ray passes within a pixel of the origin
+    d = ctr - src
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    miss = src - (src * d).sum(-1, keepdims=True) * d
+    np.testing.assert_allclose(np.linalg.norm(miss, axis=-1), 0.0, atol=1e-2)
+
+
 def test_detector_grid_centered():
     det = Detector(sdd=1000.0, height=4, width=4, delx=1.0, dely=1.0)
     _, tgt = det.rays(identity_pose())

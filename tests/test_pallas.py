@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xvr_tpu.geometry import Detector, convert
+from xvr_tpu.geometry import Detector, convert, so3
+from xvr_tpu.geometry.se3 import RigidTransform, make_matrix
 from xvr_tpu.render import make_test_volume
 from xvr_tpu.render.pallas import (
     _choose_permutation,
@@ -15,7 +16,24 @@ from xvr_tpu.render.pallas import (
 from xvr_tpu.render.xla import raymarch_siddon, raymarch_trilinear
 
 
+def world_pose(rot, xyz, degrees=False):
+    """[R | t] with WORLD-frame translation. Kernel tests pin exact ray
+    geometry with this, independent of the framework's camera-frame xyz
+    convention in ``convert`` (geometry/se3.py)."""
+    R = so3.euler_to_matrix(jnp.asarray(rot, jnp.float32), "ZXY", degrees=degrees)
+    return RigidTransform(make_matrix(R, jnp.asarray(xyz, jnp.float32)))
+
+
 def pose_at(rot_deg, xyz):
+    return world_pose(
+        jnp.asarray([rot_deg], jnp.float32), jnp.asarray([xyz], jnp.float32),
+        degrees=True,
+    )
+
+
+def cam_pose(rot_deg, xyz):
+    """Framework-convention pose (camera-frame xyz) for Projector-level
+    tests: alpha ~ 180 with ty > 0 orbits and views the origin."""
     return convert(
         jnp.asarray([rot_deg], jnp.float32), jnp.asarray([xyz], jnp.float32),
         "euler_angles", "ZXY", degrees=True,
@@ -61,7 +79,7 @@ def test_batched_poses():
     det = Detector(sdd=400.0, height=8, width=8, delx=6.0, dely=6.0)
     rots = jnp.asarray([[0.0, 0, 0], [4.0, -3.0, 2.0], [-6.0, 5.0, 0.0]], jnp.float32)
     xyzs = jnp.tile(jnp.asarray([[0.0, 200.0, 0.0]], jnp.float32), (3, 1))
-    pose = convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
+    pose = world_pose(rots, xyzs, degrees=True)
     src, tgt = det.rays(pose)
     # compare against the XLA renderer with the SAME interpolation model
     ref = np.asarray(raymarch_trilinear(vol.data, vol.affine_inverse, src, tgt, n_samples=1024))
@@ -132,7 +150,7 @@ def test_custom_vjp_matches_finite_differences():
         alpha, ty, tz = params
         rot = jnp.stack([alpha, jnp.zeros(()), jnp.zeros(())])[None]
         xyz = jnp.stack([jnp.zeros(()), ty, tz])[None]
-        pose = convert(rot, xyz, "euler_angles", "ZXY")
+        pose = world_pose(rot, xyz)
         src, tgt = det.rays(pose)
         img = raymarch_trilinear_pallas(
             vol.data, vol.affine_inverse, src, tgt, window=16, perm=perm
@@ -171,7 +189,7 @@ def test_projector_with_pallas():
     # smooth phantom: quadrature differences on discontinuities don't count
     vol = make_test_volume(16, spacing=2.0, kind="gradient")
     proj = Projector.from_volume(vol, sdd=400.0, height=8, delx=4.0)
-    pose = pose_at([180.0, 0.0, 0.0], [0.0, 200.0, 0.0])
+    pose = cam_pose([180.0, 0.0, 0.0], [0.0, 200.0, 0.0])
     ref = np.asarray(proj(pose))
     # window must cover the per-tile transverse span (here the whole 16-voxel
     # extent: the 8-col detector footprint spans ~9 voxels)
@@ -215,7 +233,7 @@ def test_projector_auto_window_and_steepness_fallback():
 
     vol = make_test_volume(32, spacing=2.0, kind="gradient")
     proj = Projector.from_volume(vol, sdd=400.0, height=16, delx=4.0)
-    pose = pose_at([180.0 + 10.0, 0.0, 20.0], [0.0, 200.0, 0.0])
+    pose = cam_pose([180.0 + 10.0, 0.0, 20.0], [0.0, 200.0, 0.0])
 
     pp = proj.with_pallas(pose)  # window=None -> exact measurement
     assert pp.renderer == "trilinear_pallas"
@@ -232,7 +250,7 @@ def test_projector_auto_window_and_steepness_fallback():
     # beam at 45 deg between two volume axes plus a wide detector FOV: corner
     # rays exceed the kernel's regime, with_pallas must keep the XLA renderer
     wide = Projector.from_volume(vol, sdd=400.0, height=16, delx=12.0)
-    diag = pose_at([180.0 + 45.0, 0.0, 0.0], [0.0, 200.0, 0.0])
+    diag = cam_pose([180.0 + 45.0, 0.0, 0.0], [0.0, 200.0, 0.0])
     kept = wide.with_pallas(diag)
     assert kept.renderer == "trilinear"
 
@@ -310,7 +328,7 @@ def test_remap_gradients_match_finite_differences():
         alpha, ty, tz = params
         rot = jnp.stack([alpha, jnp.zeros(()), jnp.zeros(())])[None]
         xyz = jnp.stack([jnp.zeros(()), ty, tz])[None]
-        pose = convert(rot, xyz, "euler_angles", "ZXY")
+        pose = world_pose(rot, xyz)
         src, tgt = det.rays(pose)
         img = raymarch_trilinear_pallas(
             vol.data, vol.affine_inverse, src, tgt, window=16, perm=(1, 0, 2),
@@ -378,7 +396,7 @@ def test_streaming_gradients_match_finite_differences():
         alpha, ty, tz = params
         rot = jnp.stack([alpha, jnp.zeros(()), jnp.zeros(())])[None]
         xyz = jnp.stack([jnp.zeros(()), ty, tz])[None]
-        pose = convert(rot, xyz, "euler_angles", "ZXY")
+        pose = world_pose(rot, xyz)
         src, tgt = det.rays(pose)
         img = raymarch_trilinear_pallas(
             vol.data, vol.affine_inverse, src, tgt, window=16, perm=(1, 0, 2),

@@ -25,13 +25,17 @@ def poses():
 
 
 def test_apply_convention():
-    # x' = R x + t on column vectors
+    # convert() interprets xyz in the camera frame: x' = R @ (x + xyz)
     T = convert(jnp.array([90.0, 0.0, 0.0]), jnp.array([1.0, 2.0, 3.0]),
                 parameterization="euler_angles", convention="ZXY", degrees=True)
     pt = jnp.array([[1.0, 0.0, 0.0]])
     out = T(pt[None]) if T.matrix.ndim == 3 else T(pt)
-    # Rz(90) @ (1,0,0) = (0,1,0); + t = (1,3,3)
-    np.testing.assert_allclose(np.asarray(out).reshape(3), [1.0, 3.0, 3.0], atol=1e-5)
+    # Rz(90) @ ((1,0,0) + (1,2,3)) = Rz(90) @ (2,2,3) = (-2,2,3)
+    np.testing.assert_allclose(np.asarray(out).reshape(3), [-2.0, 2.0, 3.0], atol=1e-5)
+    # round-trip recovers the camera-frame xyz
+    rot, xyz = T.convert("euler_angles", "ZXY", degrees=True)
+    np.testing.assert_allclose(np.asarray(xyz), [1.0, 2.0, 3.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot), [90.0, 0.0, 0.0], atol=1e-5)
 
 
 def test_compose_is_apply_self_then_other(poses):

@@ -25,10 +25,17 @@ RANGES = dict(
 def test_random_pose_ranges():
     pose = get_random_pose(jax.random.PRNGKey(0), batch_size=64, **RANGES)
     assert pose.matrix.shape == (64, 4, 4)
-    t = np.asarray(pose.t)
-    assert (t[:, 1] >= 150).all() and (t[:, 1] <= 250).all()
-    assert (np.abs(t[:, 0]) <= 10).all()
-    rot, _ = pose.convert("euler_angles", "ZXY", degrees=True)
+    # camera-frame translation (xyz params) stays within the sampled ranges;
+    # the world translation is R @ xyz (orbit convention), so the source
+    # distance from the origin equals |xyz|
+    rot, xyz = pose.convert("euler_angles", "ZXY", degrees=True)
+    xyz = np.asarray(xyz)
+    assert (xyz[:, 1] >= 149.5).all() and (xyz[:, 1] <= 250.5).all()
+    assert (np.abs(xyz[:, 0]) <= 10.5).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pose.t), axis=-1),
+        np.linalg.norm(xyz, axis=-1), rtol=1e-5,
+    )
     rot = np.asarray(rot)
     # alpha wraps to +-(165..180); beta/gamma stay within +-15
     assert (np.abs(rot[:, 0]) >= 164.5).all()

@@ -18,6 +18,21 @@ Conventions (fixed framework-wide, documented once here):
   multiview-consistency loss, /root/reference/src/xvr/model/loss.py:47-50).
 * Euler convention default is intrinsic "ZXY", angles in degrees only where a
   call site says so (sampler.py:31 passes degrees=True).
+* ``convert(rot, xyz)`` interprets ``xyz`` in the **camera (body) frame**:
+  the matrix is ``[R | R @ xyz]`` (rotate-then-translate), so a pose with
+  ``xyz = (0, ty, 0)`` orbits the world origin at radius ``ty`` for ANY
+  rotation — the C-arm geometry the reference's pose parameters demand.
+  Evidence from the reference: training sweeps of --r1 spanning 150-195
+  degrees with ty in a narrow positive band must keep the volume in view at
+  every sampled angle (/root/reference/scripts/ljubljana/train/de_novo.sh
+  r1 in [-45, 105] covering both frontal and lateral X-rays;
+  scripts/femur/train/de_novo.sh r1 in [75, 270]), and the DICOM-header pose
+  (rot=(positioner angles), xyz=(0, source-to-patient, 0),
+  /root/reference/src/xvr/io/xray.py:77-90) must place the source at
+  source-to-patient distance from the isocenter for ANY positioner angle.
+  Both hold only if the translation rotates with R. ``RigidTransform.convert``
+  inverts this (returns the camera-frame ``R^T t``), so param round-trips are
+  exact. ``make_matrix``/``make_translation`` remain literal ``[R | t]``.
 """
 
 from __future__ import annotations
@@ -95,8 +110,13 @@ class RigidTransform:
 
     # -- conversions ---------------------------------------------------------
     def convert(self, parameterization: str, convention: str | None = None, degrees: bool = False):
-        """Matrix -> (rot, xyz) parameters. Inverse of :func:`convert`."""
-        R, t = self.R, self.t
+        """Matrix -> (rot, xyz) parameters. Inverse of :func:`convert`.
+
+        ``xyz`` is returned in the camera frame (``R^T t``) to invert the
+        rotate-then-translate composition of :func:`convert` (see module
+        docstring)."""
+        R = self.R
+        t = (jnp.swapaxes(R, -1, -2) @ self.t[..., None])[..., 0]
         if parameterization == "euler_angles":
             if convention is None:
                 raise ValueError("euler_angles requires a convention")
@@ -171,7 +191,9 @@ def convert(
         raise ValueError(f"Unknown parameterization {parameterization!r}")
     if xyz is None:
         xyz = jnp.zeros(rot.shape[:-1] + (3,), dtype=rot.dtype)
-    return RigidTransform(make_matrix(R, jnp.asarray(xyz)))
+    # camera-frame translation: M = [R | R @ xyz] (see module docstring)
+    t = (R @ jnp.asarray(xyz)[..., None])[..., 0]
+    return RigidTransform(make_matrix(R, t))
 
 
 def make_translation(xyz: jnp.ndarray) -> RigidTransform:

@@ -34,26 +34,27 @@ def _batched(pose: RigidTransform) -> RigidTransform:
 def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTransform:
     """Camera-frame pre-rotation for anatomical orientation.
 
-    Matches the reference's effective pose semantics (diffdrr's per-subject
-    reorientation, exercised by the training ranges at
-    /root/reference/scripts/deepfluoro/train/de_novo.sh: alpha in [135, 225]
-    deg with ty in [450, 1000] mm must view a volume at the origin, and the
-    DICOM-header pose path io/xray.py:77-90 builds (alpha, beta, 0) with
-    translation (0, +source-to-patient, 0) for AP / negated for PA):
+    With the camera-frame-translation pose convention (see
+    xvr_tpu/geometry/se3.py: ``convert`` builds ``[R | R @ xyz]``), any pose
+    with ``xyz = (0, ty, 0)``, ``ty > 0`` orbits the world origin, so the
+    reference's training ranges (alpha sweeps of 150-195 degrees,
+    /root/reference/scripts/femur/train/de_novo.sh r1 in [75, 270]) and the
+    DICOM positioner pose (io/xray.py:77-90) view the volume at EVERY angle.
+    The orientation transform only fixes the image's handedness/up-direction:
 
-    * "AP": rotate the camera 180 deg about z — a pose with alpha ~ 180 (the
-      training convention) or the DICOM AP pose (alpha ~ 0 after composing)
-      looks from anterior (+y) back through the origin.
-    * "PA": rotate 180 deg about x — the DICOM PA pose (source at -y) looks
-      from posterior through the origin, with the image flipped vertically
-      relative to AP.
+    * "AP" (and None): identity. alpha ~ 180 (the DeepFluoro training
+      convention) looks from posterior (-y, the under-table X-ray source)
+      toward anterior; the DICOM AP pose (alpha ~ 0) looks from anterior.
+      Rows map superior to the top of the image.
+    * "PA": rotate 180 deg about x — flips which detector edge is superior,
+      and composes with the DICOM PA pose's negated source-to-patient
+      translation (io/xray.py:79-81) so the beam still crosses the origin.
     """
     if orientation == "PA":
         M = jnp.diag(jnp.asarray([1.0, -1.0, -1.0, 1.0], dtype=dtype))
         return RigidTransform(M)
     if orientation in (None, "AP"):
-        M = jnp.diag(jnp.asarray([-1.0, -1.0, 1.0, 1.0], dtype=dtype))
-        return RigidTransform(M)
+        return RigidTransform(jnp.eye(4, dtype=dtype))
     raise ValueError(f"Unrecognized orientation {orientation!r}")
 
 
@@ -241,9 +242,13 @@ class Projector:
         permutation and the static gather windows are fixed host-side from a
         representative pose; probe poses should bracket the poses that will be
         rendered (an undersized warp window silently clips). Falls back to
-        ``self`` unchanged (XLA path) when probe rays exceed ~45 degrees of
-        the march axis. Labelmap channel rendering is dispatched to the slab
-        kernel (the shear-warp path has no channel mode).
+        ``self`` unchanged (XLA path) when probe rays exceed ~70 degrees of
+        the march axis — unlike the slab kernel (hard 45-degree invariants),
+        the shear-warp factorization has no correctness cliff: steeper rays
+        only widen the per-image slope grid, trading transverse resolution
+        (mild blur at the steepest poses). Labelmap channel rendering is
+        dispatched to the slab kernel (the shear-warp path has no channel
+        mode).
         """
         from .pallas import choose_permutation_for_pose, measured_steepness
         from .shearwarp import measured_warp_window
@@ -275,9 +280,9 @@ class Projector:
                 np.asarray(jax.device_get(proj.affine_inverse)),
                 perm,
             )
-            if measured_steepness(*args) > 1.2:
+            if measured_steepness(*args) > 2.8:
                 print(
-                    "with_shearwarp: rays exceed 45deg of the march axis; "
+                    "with_shearwarp: rays exceed ~70deg of the march axis; "
                     "keeping the XLA renderer",
                     flush=True,
                 )

@@ -133,8 +133,8 @@ def raymarch_trilinear(
     large (auto) — same math, bounded memory, autodiff-compatible.
     """
     B, R = target.shape[0], target.shape[1]
-    if ray_chunk is None and R * n_samples > 2**27:
-        ray_chunk = max(1, 2**27 // n_samples)
+    if ray_chunk is None and B * R * n_samples > 2**27:
+        ray_chunk = max(1, 2**27 // (max(B, 1) * n_samples))
     if ray_chunk and ray_chunk < R:
         pad = (-R) % ray_chunk
         tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)), mode="edge")

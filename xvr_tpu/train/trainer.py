@@ -195,27 +195,26 @@ class Trainer:
             # The step is compiled ONCE for all subjects, so the kernel
             # layout/windows must be unified from worst-case measurements
             # across every subject.
+            upgraded_ok = False
             if labels is None and mesh is None:
-                # single-channel: shear-warp MXU forward (both renders) +
-                # slab-kernel analytic backward (the pred-pose re-render)
+                # single-channel: shear-warp MXU renderer (forward + analytic
+                # adjoint backward)
                 upgraded = [
                     p.with_shearwarp(ref, probe_poses=probes)
                     for p in self.projectors
                 ]
                 perms = {p.pallas_perm for p in upgraded}
                 if all(p.renderer == "trilinear_fast" for p in upgraded) and len(perms) == 1:
-                    slab_w = max(p.pallas_window for p in upgraded)
                     warp_w = max(p.shearwarp_window for p in upgraded)
                     self.projectors = [
-                        p.replace(pallas_window=slab_w, shearwarp_window=warp_w)
-                        for p in upgraded
+                        p.replace(shearwarp_window=warp_w) for p in upgraded
                     ]
+                    upgraded_ok = True
                     print(
-                        f"Using shear-warp MXU renderer (slab window={slab_w}, "
-                        f"warp window={warp_w})",
+                        f"Using shear-warp MXU renderer (warp window={warp_w})",
                         flush=True,
                     )
-            else:
+            if not upgraded_ok:
                 # labelmap channel rendering / ray-sharded meshes: slab kernel
                 upgraded = [
                     p.with_pallas(ref, probe_poses=probes, window=48)
