@@ -1,0 +1,112 @@
+"""Training-throughput benchmark (the reference's finetune config).
+
+Runs the patient-specific finetune operating point from
+/root/reference/scripts/deepfluoro/train/finetune.sh — batch 116 DRRs @
+128^2 against a 256^3 CT, resnet34 backbone, grad-accum 4 — for a few dozen
+steps on the local accelerator and reports steady-state s/iteration and the
+projected wall time of the 500-iteration finetune budget (the reference's
+"train a patient-specific model in 5 minutes" headline, README.md:10).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from xvr_tpu.io import save_nifti
+    from xvr_tpu.train import Trainer
+
+    log(f"device: {jax.devices()[0]}")
+    d = Path(tempfile.mkdtemp(prefix="xvr_bench_train_"))
+
+    # synthetic 256^3 CT: soft body + bone-density texture
+    n, sp = 256, 1.5
+    rng = np.random.default_rng(0)
+    c = (n - 1) / 2
+    X, Y, Z = np.meshgrid(*([np.arange(n, dtype=np.float32)] * 3), indexing="ij")
+    body = ((X - c) / (0.45 * n)) ** 2 + ((Y - c) / (0.35 * n)) ** 2 + (
+        (Z - c) / (0.4 * n)
+    ) ** 2
+    hu = np.where(body <= 1.0, 50.0, -1000.0).astype(np.float32)
+    bone = rng.uniform(0.0, 1.0, hu.shape) > 0.995
+    hu = np.where(bone & (body <= 0.8), 1200.0, hu)
+    aff = np.eye(4, dtype=np.float32) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -c * sp
+    save_nifti(d / "ct.nii.gz", hu, aff)
+
+    # finetune.sh hyperparameters (batch 116, 128^2 @ 2.1764 mm, resnet34)
+    trainer = Trainer(
+        volpath=d / "ct.nii.gz",
+        maskpath=None,
+        outpath=d / "out",
+        alphamin=135.0, alphamax=225.0, betamin=-30.0, betamax=30.0,
+        gammamin=-15.0, gammamax=15.0,
+        txmin=-150.0, txmax=150.0, tymin=450.0, tymax=1000.0,
+        tzmin=-150.0, tzmax=150.0,
+        sdd=1020.0, height=128, delx=2.1764,
+        model_name="resnet34",
+        batch_size=116,
+        n_total_itrs=40,
+        n_warmup_itrs=10,
+        n_grad_accum_itrs=4,
+        n_save_every_itrs=10_000,
+        lr=1e-3,
+    )
+    log(f"renderer: {trainer.projectors[0].renderer}")
+
+    # compile + warm up (the tunneled chip runs fresh executables ~2x slow
+    # for their first executions)
+    t0 = time.perf_counter()
+    trainer.step(0)
+    import jax as _j
+
+    _j.block_until_ready(trainer.params)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    for i in range(1, 8):
+        trainer.step(i)
+    _j.block_until_ready(trainer.params)
+
+    best = np.inf
+    for w in range(3):
+        t0 = time.perf_counter()
+        n_steps = 12
+        for i in range(n_steps):
+            m = trainer.step(8 + w * n_steps + i)
+        _j.block_until_ready(trainer.params)
+        dt = (time.perf_counter() - t0) / n_steps
+        log(f"window {w}: {dt * 1e3:.0f} ms/step")
+        best = min(best, dt)
+
+    finetune_s = best * 500
+    print(
+        json.dumps(
+            {
+                "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
+                "value": round(best * 1e3, 1),
+                "unit": "ms/step",
+                "finetune_500_itrs_s": round(finetune_s, 1),
+                "drrs_per_sec_equiv": round(2 * 116 / best, 1),
+                "renderer": trainer.projectors[0].renderer,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
