@@ -68,7 +68,7 @@ def main():
         n_save_every_itrs=10_000,
         lr=1e-3,
     )
-    log(f"renderer: {trainer.projectors[0].renderer}")
+    log(f"renderer: {trainer.projectors[0][0].renderer}")
 
     # compile + warm up (the tunneled chip runs fresh executables ~2x slow
     # for their first executions)
@@ -102,7 +102,7 @@ def main():
                 "unit": "ms/step",
                 "finetune_500_itrs_s": round(finetune_s, 1),
                 "drrs_per_sec_equiv": round(2 * 116 / best, 1),
-                "renderer": trainer.projectors[0].renderer,
+                "renderer": trainer.projectors[0][0].renderer,
             }
         )
     )

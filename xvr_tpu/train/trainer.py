@@ -158,8 +158,19 @@ class Trainer:
 
         # TPU fast path: single-channel trilinear rendering upgrades to the
         # Pallas slab-marching kernel, with the march axis fixed from the mean
-        # training pose (disable with XVR_NO_PALLAS=1)
+        # training pose (disable with XVR_NO_PALLAS=1). Wide alpha sweeps
+        # (ljubljana r1 in [-45, 105], femur r1 in [75, 270] — spans no single
+        # march axis can cover) are STRATIFIED: the alpha range is split into
+        # K contiguous sub-ranges, each with its own permutation/window and a
+        # static share of the batch proportional to its width, so the sampled
+        # pose distribution stays uniform over the full range.
         import os as _os
+
+        # Every stratum starts as the full range; _try_shearwarp_strata
+        # replaces these on success. self.strata_* are consumed by _build_step.
+        self.strata_ranges = [dict(self.pose_ranges)]
+        self.strata_counts = (self.batch_size,)
+        self.projectors = [(p,) for p in self.projectors]
 
         if (
             renderer == "trilinear"
@@ -177,44 +188,21 @@ class Trainer:
             # CORNERS of the sampling ranges (rotation x translation extremes)
             # — the worst-case tiles live there, and an undersized window
             # silently clips ray contributions.
-            rot_corners = [
-                [a, b, g]
-                for a in (alphamin, alphamax)
-                for b in (betamin, betamax)
-                for g in (gammamin, gammamax)
-            ]
-            t_corners = [
-                [txmin, tymin, tzmin], [txmax, tymin, tzmax],
-                [txmin, tymax, tzmax], [txmax, tymax, tzmin],
-            ]
-            rots = jnp.asarray(
-                [rc for rc in rot_corners for _ in t_corners], jnp.float32
-            )
-            xyzs = jnp.asarray(t_corners * len(rot_corners), jnp.float32)
-            probes = _convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
+            probes = self._probe_corners(**self.pose_ranges)
             # The step is compiled ONCE for all subjects, so the kernel
             # layout/windows must be unified from worst-case measurements
             # across every subject.
             upgraded_ok = False
             if labels is None and mesh is None:
                 # single-channel: shear-warp MXU renderer (forward + analytic
-                # adjoint backward)
-                upgraded = [
-                    p.with_shearwarp(ref, probe_poses=probes)
-                    for p in self.projectors
-                ]
-                perms = {p.pallas_perm for p in upgraded}
-                if all(p.renderer == "trilinear_fast" for p in upgraded) and len(perms) == 1:
-                    warp_w = max(p.shearwarp_window for p in upgraded)
-                    self.projectors = [
-                        p.replace(shearwarp_window=warp_w) for p in upgraded
-                    ]
-                    upgraded_ok = True
-                    print(
-                        f"Using shear-warp MXU renderer (warp window={warp_w})",
-                        flush=True,
-                    )
+                # adjoint backward), stratifying the alpha range if one
+                # permutation cannot cover the whole sweep
+                for edges in self._stratum_candidates():
+                    if self._try_shearwarp_strata(edges):
+                        upgraded_ok = True
+                        break
             if not upgraded_ok:
+                self.projectors = [p[0] for p in self.projectors]
                 # labelmap channel rendering / ray-sharded meshes: slab kernel
                 upgraded = [
                     p.with_pallas(ref, probe_poses=probes, window=48)
@@ -247,6 +235,7 @@ class Trainer:
                         "Pallas disabled: subjects disagree on the march-axis "
                         f"permutation {sorted(perms)}", flush=True,
                     )
+                self.projectors = [(p,) for p in self.projectors]
 
         # ---- model ----
         import os as _os2
@@ -319,6 +308,117 @@ class Trainer:
         self._logfile = self.outpath / "train_log.jsonl"
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _probe_corners(
+        alphamin, alphamax, betamin, betamax, gammamin, gammamax,
+        txmin, txmax, tymin, tymax, tzmin, tzmax,
+    ) -> RigidTransform:
+        """Poses at the corners of the sampling ranges (rotation x translation
+        extremes) — the worst-case kernel windows live there."""
+        from ..geometry import convert as _convert
+
+        rot_corners = [
+            [a, b, g]
+            for a in (alphamin, alphamax)
+            for b in (betamin, betamax)
+            for g in (gammamin, gammamax)
+        ]
+        t_corners = [
+            [txmin, tymin, tzmin], [txmax, tymin, tzmax],
+            [txmin, tymax, tzmax], [txmax, tymax, tzmin],
+        ]
+        rots = jnp.asarray([rc for rc in rot_corners for _ in t_corners], jnp.float32)
+        xyzs = jnp.asarray(t_corners * len(rot_corners), jnp.float32)
+        return _convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
+
+    def _stratum_candidates(self) -> list[list[float]]:
+        """Candidate alpha-edge sets for stratified rendering, best first.
+
+        The march axes live at multiples of 90 degrees of the orbit, so the
+        natural stratum boundaries are the MIDLINES between axes (45 + 90k):
+        each axis-aligned stratum keeps every ray within ~45 degrees (plus
+        the detector cone) of its march axis. Uniform K-splits follow as
+        fallbacks for envelopes the axis-aligned split cannot cover (e.g.
+        extreme beta ranges)."""
+        import math
+
+        r = self.pose_ranges
+        amin, amax = float(r["alphamin"]), float(r["alphamax"])
+        cands: list[list[float]] = [[amin, amax]]
+        x = (math.floor((amin - 45.0) / 90.0) + 1) * 90.0 + 45.0
+        cross = []
+        while x < amax:
+            if x > amin:
+                cross.append(x)
+            x += 90.0
+        # drop slivers at the range ends (they would starve the batch share)
+        cross = [c for c in cross if c - amin > 10.0 and amax - c > 10.0]
+        if cross:
+            cands.append([amin] + cross + [amax])
+        for K in (2, 3, 4, 5, 6):
+            cands.append([float(v) for v in np.linspace(amin, amax, K + 1)])
+        return cands
+
+    def _try_shearwarp_strata(self, edges) -> bool:
+        """Split the alpha range at ``edges`` and upgrade every
+        (stratum, subject) projector to the shear-warp MXU renderer.
+
+        Succeeds only if every stratum passes the steepness gate with a
+        single march-axis permutation shared across subjects (windows are
+        unified to the per-stratum worst case). On success sets
+        self.projectors (per subject: tuple of K stratum variants),
+        self.strata_ranges, and self.strata_counts (batch shares proportional
+        to stratum widths — the sampled alpha distribution stays exactly
+        uniform over the full range).
+        """
+        from ..geometry import convert as _convert
+
+        r = self.pose_ranges
+        edges = np.asarray(edges, dtype=np.float64)
+        K = len(edges) - 1
+        flat = [p[0] if isinstance(p, tuple) else p for p in self.projectors]
+
+        strata_projs: list[list[Projector]] = []  # [stratum][subject]
+        strata_ranges = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            sub = dict(r)
+            sub["alphamin"], sub["alphamax"] = float(lo), float(hi)
+            mean_rot = jnp.asarray(
+                [[(lo + hi) / 2, (r["betamin"] + r["betamax"]) / 2,
+                  (r["gammamin"] + r["gammamax"]) / 2]], jnp.float32
+            )
+            ref = _convert(mean_rot, jnp.zeros((1, 3)), "euler_angles", "ZXY", degrees=True)
+            probes = self._probe_corners(**sub)
+            upgraded = [p.with_shearwarp(ref, probe_poses=probes) for p in flat]
+            perms = {p.pallas_perm for p in upgraded}
+            if not all(p.renderer == "trilinear_fast" for p in upgraded) or len(perms) != 1:
+                return False
+            warp_w = max(p.shearwarp_window for p in upgraded)
+            strata_projs.append([p.replace(shearwarp_window=warp_w) for p in upgraded])
+            strata_ranges.append(sub)
+
+        # batch shares proportional to widths (largest-remainder rounding)
+        widths = np.diff(edges)
+        exact = widths / widths.sum() * self.batch_size
+        counts = np.floor(exact).astype(int)
+        for i in np.argsort(exact - counts)[::-1][: self.batch_size - counts.sum()]:
+            counts[i] += 1
+        if (counts <= 0).any():
+            return False
+
+        self.projectors = [
+            tuple(strata_projs[k][s] for k in range(K)) for s in range(len(flat))
+        ]
+        self.strata_ranges = strata_ranges
+        self.strata_counts = tuple(int(c) for c in counts)
+        desc = ", ".join(
+            f"[{sr['alphamin']:.0f},{sr['alphamax']:.0f}]x{c}(w{p[0].shearwarp_window})"
+            for sr, c, p in zip(strata_ranges, self.strata_counts, zip(*self.projectors))
+        )
+        print(f"Using shear-warp MXU renderer, {K} alpha strata: {desc}", flush=True)
+        return True
+
+    # ------------------------------------------------------------------
     def _initialize_subjects(self, volpath, maskpath, orientation):
         volpath = Path(volpath)
         if volpath.is_file():
@@ -335,7 +435,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_step(self):
         model = self.model
-        ranges = {k: float(v) for k, v in self.pose_ranges.items()}
+        strata_ranges = [
+            {k: float(v) for k, v in r.items()} for r in self.strata_ranges
+        ]
+        counts = self.strata_counts
         batch_size = self.batch_size
         sdd = self.sdd
         weights = self.loss_weights
@@ -353,39 +456,59 @@ class Trainer:
                 return pose
             return RigidTransform(shard_batch(mesh, pose.matrix))
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, projector: Projector, center, reframe):
-            k_pose, k_contrast, k_aug = jax.random.split(key, 3)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
 
-            # Sample poses about the isocenter, then shift to the volume center
-            pose = get_random_pose(k_pose, batch_size=batch_size, **ranges)
+        def render_batch(projectors, pose, density, packed, prepared):
+            """Render the pose batch stratum-by-stratum (static slices; each
+            stratum has its own march-axis permutation/window) -> (B,C,H,W)."""
+            imgs = []
+            for k, proj in enumerate(projectors):
+                pose_k = RigidTransform(
+                    jax.lax.slice_in_dim(pose.matrix, int(offsets[k]), int(offsets[k + 1]))
+                )
+                src, tgt = proj.rays(pose_k)
+                if mesh is not None:
+                    tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
+                raw = proj.render_rays(
+                    src, tgt, density=density, packed=packed[k], prepared=prepared[k]
+                )
+                imgs.append(proj.reshape_transform(raw, int(counts[k])))
+            return jnp.concatenate(imgs, axis=0) if len(imgs) > 1 else imgs[0]
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+        def step(params, opt_state, key, projectors: tuple, center, reframe):
+            keys = jax.random.split(key, 2 + len(counts))
+            k_contrast, k_aug = keys[0], keys[1]
+
+            # Sample poses per alpha stratum (shares proportional to widths
+            # keep the marginal distribution uniform over the full range),
+            # about the isocenter, then shift to the volume center
+            pose = RigidTransform(jnp.concatenate([
+                get_random_pose(keys[2 + k], batch_size=int(counts[k]), **strata_ranges[k]).matrix
+                for k in range(len(counts))
+            ], axis=0))
             pose = _shard_pose(pose.compose(make_translation(center)))
 
             # Random bone contrast (trainer.py:124,196)
             contrast = jax.random.uniform(k_contrast, (), minval=1.0, maxval=10.0)
-            density = transform_hu_to_density(projector.volume.data, contrast)
-            # pack/permute once per step; reused by target render, pred
-            # render, and the custom-VJP backward
-            ren = projector.renderer
-            packed = (
-                projector.pack_for_pallas(density)
-                if ren == "trilinear_pallas" else None
-            )
-            prepared = (
-                projector.prepare_for_shearwarp(density)
-                if ren in ("trilinear_fast", "trilinear_shearwarp")
-                and projector.labels is None
-                else None
-            )
+            density = transform_hu_to_density(projectors[0].volume.data, contrast)
+            # pack/permute once per step (per stratum: permutations differ);
+            # reused by target render, pred render, and the custom-VJP backward
+            packed, prepared = [], []
+            for proj in projectors:
+                ren = proj.renderer
+                packed.append(
+                    proj.pack_for_pallas(density) if ren == "trilinear_pallas" else None
+                )
+                prepared.append(
+                    proj.prepare_for_shearwarp(density)
+                    if ren in ("trilinear_fast", "trilinear_shearwarp")
+                    and proj.labels is None
+                    else None
+                )
 
             # Target DRRs (no gradient; trainer.py:199-205)
-            src, tgt = projector.rays(pose)
-            if mesh is not None:
-                tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
-            raw = projector.render_rays(
-                src, tgt, density=density, packed=packed, prepared=prepared
-            )
-            raw = projector.reshape_transform(raw, batch_size)  # (B, C, H, W)
+            raw = render_batch(projectors, pose, density, packed, prepared)
             raw = jax.lax.stop_gradient(raw)
             fg = (raw > 0).astype(raw.dtype)
             img = jnp.sum(raw, axis=1, keepdims=True)
@@ -404,14 +527,12 @@ class Trainer:
                 pred_pose = model.decode(rot, xyz)
                 if use_reframe:
                     pred_pose = pred_pose.compose(RigidTransform(reframe))
-                # Differentiable re-render at the predicted poses
-                psrc, ptgt = projector.rays(pred_pose)
-                if mesh is not None:
-                    ptgt = shard_rays(mesh, ptgt)
-                praw = projector.render_rays(
-                    psrc, ptgt, density=density, packed=packed, prepared=prepared
-                )
-                praw = projector.reshape_transform(praw, batch_size)
+                # Differentiable re-render at the predicted poses. Each pred
+                # pose uses its TARGET pose's stratum: predictions track their
+                # targets once training moves, and out-of-stratum predictions
+                # only blur (shear-warp has no correctness cliff), raising the
+                # loss that pulls them back.
+                praw = render_batch(projectors, pred_pose, density, packed, prepared)
                 pfg = (praw > 0).astype(praw.dtype)
                 pimg = jnp.sum(praw, axis=1, keepdims=True)
                 loss, metrics = pose_regression_loss(
@@ -439,13 +560,14 @@ class Trainer:
         w = np.asarray(w, dtype=np.float64)
         return int(np.random.default_rng(int(jax.random.bits(key))).choice(len(self.projectors), p=w / w.sum()))
 
-    def _crop_patch(self, projector: Projector, key):
+    def _crop_patch(self, projectors: tuple, key):
         """Random fixed-size crop of the subject volume (torchio UniformSampler
         Queue semantics, /root/reference/src/xvr/model/utils.py:77-93): the
         crop keeps a static shape so it reuses the same compiled step; the
-        affine is shifted so world geometry is preserved."""
+        affine is shifted so world geometry is preserved. The same crop is
+        applied to every stratum variant of the projector."""
         ph, pw, pd = self.patch_size
-        vol = projector.volume
+        vol = projectors[0].volume
         nx, ny, nz = vol.data.shape
         rng = np.random.default_rng(int(jax.random.bits(key)))
         ox = int(rng.integers(0, max(nx - ph, 0) + 1))
@@ -458,20 +580,21 @@ class Trainer:
         )
         affine = vol.affine.at[:3, 3].add(vol.affine[:3, :3] @ jnp.asarray([ox, oy, oz], vol.affine.dtype))
         cropped = Volume(data=data, affine=affine, mask=mask, orientation=vol.orientation)
-        return projector.replace(volume=cropped, density=data), cropped.center
+        out = tuple(p.replace(volume=cropped, density=data) for p in projectors)
+        return out, cropped.center
 
     def step(self, itr: int):
         self.key, k_subj, k_patch, k_step = jax.random.split(self.key, 4)
         idx = self._pick_subject(k_subj)
-        projector, center = self.projectors[idx], self.centers[idx]
+        projectors, center = self.projectors[idx], self.centers[idx]
         if self.patch_size is not None:
-            projector, center = self._crop_patch(projector, k_patch)
+            projectors, center = self._crop_patch(projectors, k_patch)
         reframe = (
             self.reframe.matrix if self.reframe is not None else jnp.eye(4)
         )
         self.params, self.opt_state, metrics = self._step(
             self.params, self.opt_state, k_step,
-            projector, center, reframe,
+            projectors, center, reframe,
         )
         return metrics
 
