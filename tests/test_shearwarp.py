@@ -152,3 +152,29 @@ def test_default_grid_shape_bounds():
     assert default_grid_shape((256, 256)) == (256, 256)
     assert default_grid_shape((100, 100)) == (128, 128)
     assert default_grid_shape((1436, 1436)) == (1536, 1536)
+
+
+def test_shearwarp_steep_pose_accuracy():
+    """Between 45 and ~70 deg off the march axis (the zone the loosened gate
+    admits — the slab kernel's hard 45-deg invariant does not apply to the
+    shear-warp factorization), renders must still match the XLA golden
+    model: steeper rays only widen the per-image slope grid."""
+    from xvr_tpu.render import Projector, make_test_volume
+
+    vol = make_test_volume(32, spacing=2.0, kind="gradient")
+    proj = Projector.from_volume(vol, sdd=400.0, height=16, delx=3.0)
+    # probe set spanning the DeepFluoro training envelope relative to one
+    # march axis: corners reach ~55-60 deg off axis
+    rots = jnp.asarray([
+        [135.0, -45.0, 0.0], [135.0, 45.0, 0.0], [180.0, 0.0, 0.0],
+        [225.0, -45.0, 0.0], [225.0, 45.0, 0.0],
+    ])
+    xyzs = jnp.tile(jnp.asarray([[0.0, 200.0, 0.0]]), (5, 1))
+    poses = convert(rots, xyzs, "euler_angles", "ZXY", degrees=True)
+    pp = proj.with_shearwarp(poses, differentiable=False)
+    assert pp.renderer == "trilinear_shearwarp", "gate must admit ~60deg corners"
+    ref = np.asarray(proj(poses))
+    out = np.asarray(pp(poses))
+    for i in range(5):
+        err = np.abs(out[i] - ref[i]).max() / np.abs(ref[i]).max()
+        assert err < 0.06, (i, err)
