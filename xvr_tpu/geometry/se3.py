@@ -78,19 +78,25 @@ class RigidTransform:
 
     def compose(self, other: "RigidTransform") -> "RigidTransform":
         """Apply ``self`` first, then ``other``."""
-        return RigidTransform(other.matrix @ self.matrix)
+        # precision="highest" on all pose products: TPU default matmul
+        # precision is bfloat16 (~4e-3 relative), far too coarse for
+        # sub-degree/mm pose algebra; 4x4 products at f32 are free.
+        return RigidTransform(jnp.matmul(other.matrix, self.matrix, precision="highest"))
 
     def __matmul__(self, other: "RigidTransform") -> "RigidTransform":
-        return RigidTransform(self.matrix @ other.matrix)
+        return RigidTransform(jnp.matmul(self.matrix, other.matrix, precision="highest"))
 
     def inverse(self) -> "RigidTransform":
         Rt = jnp.swapaxes(self.R, -1, -2)
-        t = -(Rt @ self.t[..., None])[..., 0]
+        t = -jnp.matmul(Rt, self.t[..., None], precision="highest")[..., 0]
         return RigidTransform(make_matrix(Rt, t))
 
     def __call__(self, pts: jnp.ndarray) -> jnp.ndarray:
         """Apply to points (..., N, 3) -> (..., N, 3)."""
-        return pts @ jnp.swapaxes(self.R, -1, -2) + self.t[..., None, :]
+        return (
+            jnp.matmul(pts, jnp.swapaxes(self.R, -1, -2), precision="highest")
+            + self.t[..., None, :]
+        )
 
     def apply(self, pts: jnp.ndarray) -> jnp.ndarray:
         return self(pts)
@@ -116,7 +122,7 @@ class RigidTransform:
         rotate-then-translate composition of :func:`convert` (see module
         docstring)."""
         R = self.R
-        t = (jnp.swapaxes(R, -1, -2) @ self.t[..., None])[..., 0]
+        t = jnp.matmul(jnp.swapaxes(R, -1, -2), self.t[..., None], precision="highest")[..., 0]
         if parameterization == "euler_angles":
             if convention is None:
                 raise ValueError("euler_angles requires a convention")
@@ -192,7 +198,7 @@ def convert(
     if xyz is None:
         xyz = jnp.zeros(rot.shape[:-1] + (3,), dtype=rot.dtype)
     # camera-frame translation: M = [R | R @ xyz] (see module docstring)
-    t = (R @ jnp.asarray(xyz)[..., None])[..., 0]
+    t = jnp.matmul(R, jnp.asarray(xyz)[..., None], precision="highest")[..., 0]
     return RigidTransform(make_matrix(R, t))
 
 
@@ -221,7 +227,7 @@ def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     )
     W = so3.hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
+    return eye + b[..., None, None] * W + c[..., None, None] * jnp.matmul(W, W, precision="highest")
 
 
 def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
@@ -237,20 +243,20 @@ def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     )
     W = so3.hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye - 0.5 * W + cot[..., None, None] * (W @ W)
+    return eye - 0.5 * W + cot[..., None, None] * jnp.matmul(W, W, precision="highest")
 
 
 def se3_exp_map(omega: jnp.ndarray, upsilon: jnp.ndarray) -> RigidTransform:
     R = so3.axis_angle_to_matrix(omega)
     V = _so3_left_jacobian(omega)
-    t = (V @ upsilon[..., None])[..., 0]
+    t = jnp.matmul(V, upsilon[..., None], precision="highest")[..., 0]
     return RigidTransform(make_matrix(R, t))
 
 
 def se3_log_map(T: RigidTransform):
     omega = so3.matrix_to_axis_angle(T.R)
     Vinv = _so3_left_jacobian_inv(omega)
-    upsilon = (Vinv @ T.t[..., None])[..., 0]
+    upsilon = jnp.matmul(Vinv, T.t[..., None], precision="highest")[..., 0]
     return omega, upsilon
 
 
@@ -261,5 +267,5 @@ def project_onto_SO3(T: RigidTransform) -> RigidTransform:
     A, t = T.matrix[..., :3, :3], T.matrix[..., :3, 3]
     R = so3.project_onto_so3(A)
     t_local = jnp.linalg.solve(A, t[..., None])
-    t = (R @ t_local)[..., 0]
+    t = jnp.matmul(R, t_local, precision="highest")[..., 0]
     return RigidTransform(make_matrix(R, t))

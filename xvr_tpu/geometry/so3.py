@@ -64,9 +64,13 @@ def euler_to_matrix(angles: jnp.ndarray, convention: str, degrees: bool = False)
         raise ValueError(f"Invalid Euler convention {convention!r}")
     if degrees:
         angles = jnp.deg2rad(angles)
+    # precision="highest": on TPU the default matmul precision is bfloat16,
+    # which puts ~4e-3 relative error into every pose matrix (0.2 deg of
+    # rotation noise, mm-scale ray-endpoint noise) — catastrophic for
+    # sub-degree registration. These are 3x3 products; full f32 is free.
     R = _axis_rotation(convention[0], angles[..., 0])
-    R = R @ _axis_rotation(convention[1], angles[..., 1])
-    R = R @ _axis_rotation(convention[2], angles[..., 2])
+    R = jnp.matmul(R, _axis_rotation(convention[1], angles[..., 1]), precision="highest")
+    R = jnp.matmul(R, _axis_rotation(convention[2], angles[..., 2]), precision="highest")
     return R
 
 
@@ -225,7 +229,7 @@ def axis_angle_to_matrix(w: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return eye + a[..., None, None] * W + b[..., None, None] * jnp.matmul(W, W, precision="highest")
 
 
 def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
@@ -348,7 +352,7 @@ def project_onto_so3(A: jnp.ndarray) -> jnp.ndarray:
     Semantics of /root/reference/src/xvr/utils/ants.py:71-82.
     """
     U, _, Vt = jnp.linalg.svd(A)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision="highest"))
     S = jnp.ones(A.shape[:-2] + (3,), dtype=A.dtype)
     S = S.at[..., -1].set(det)
-    return (U * S[..., None, :]) @ Vt
+    return jnp.matmul(U * S[..., None, :], Vt, precision="highest")

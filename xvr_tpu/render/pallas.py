@@ -1196,8 +1196,8 @@ def raymarch_trilinear_pallas(
         det_shape = (side, side)
 
     A = affine_inverse
-    s_vox = source @ A[:3, :3].T + A[:3, 3]
-    t_vox = target @ A[:3, :3].T + A[:3, 3]
+    s_vox = jnp.matmul(source, A[:3, :3].T, precision="highest") + A[:3, 3]
+    t_vox = jnp.matmul(target, A[:3, :3].T, precision="highest") + A[:3, 3]
     s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
     d_vox = t_vox - s_vox
     raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)
@@ -1353,8 +1353,8 @@ def raymarch_siddon_pallas(
         det_shape = (side, side)
 
     A = affine_inverse
-    s_vox = source @ A[:3, :3].T + A[:3, 3]
-    t_vox = target @ A[:3, :3].T + A[:3, 3]
+    s_vox = jnp.matmul(source, A[:3, :3].T, precision="highest") + A[:3, 3]
+    t_vox = jnp.matmul(target, A[:3, :3].T, precision="highest") + A[:3, 3]
     s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
     d_vox = t_vox - s_vox
     raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)

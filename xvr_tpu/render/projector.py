@@ -346,7 +346,7 @@ class Projector:
     def _oriented(self, pose: RigidTransform) -> RigidTransform:
         reorient = orientation_transform(self.volume.orientation, self.volume.affine.dtype)
         # camera-frame pre-rotation: applied before the user pose
-        return RigidTransform(pose.matrix @ reorient.matrix)
+        return RigidTransform(jnp.matmul(pose.matrix, reorient.matrix, precision="highest"))
 
     def rays(self, pose: RigidTransform, calibration=None):
         """(source, target) world-space ray endpoints (trainer.py:283)."""

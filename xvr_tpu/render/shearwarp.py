@@ -260,8 +260,8 @@ def _decompose(affine_inverse, source, target, perm):
     """World rays -> permuted voxel-space fields (shared with the slab path)."""
     march, win, lane = perm
     A = affine_inverse
-    s_vox = source @ A[:3, :3].T + A[:3, 3]
-    t_vox = target @ A[:3, :3].T + A[:3, 3]
+    s_vox = jnp.matmul(source, A[:3, :3].T, precision="highest") + A[:3, 3]
+    t_vox = jnp.matmul(target, A[:3, :3].T, precision="highest") + A[:3, 3]
     s_vox = jnp.broadcast_to(s_vox, t_vox.shape)
     d_vox = t_vox - s_vox
     raylen = jnp.linalg.norm(target - jnp.broadcast_to(source, target.shape), axis=-1)

@@ -54,7 +54,7 @@ class Volume:
         central voxel index ``(n - 1) / 2``.
         """
         idx = (jnp.asarray(self.data.shape, dtype=self.affine.dtype) - 1.0) / 2.0
-        return self.affine[:3, :3] @ idx + self.affine[:3, 3]
+        return jnp.matmul(self.affine[:3, :3], idx, precision="highest") + self.affine[:3, 3]
 
     def center_translation(self) -> RigidTransform:
         """Pure translation to the volume isocenter (trainer.py:258-262)."""
@@ -64,7 +64,7 @@ class Volume:
     def world_to_voxel(self, pts: jnp.ndarray) -> jnp.ndarray:
         """World mm (..., 3) -> continuous voxel indices (..., 3)."""
         Ainv = self.affine_inverse
-        return pts @ Ainv[:3, :3].T + Ainv[:3, 3]
+        return jnp.matmul(pts, Ainv[:3, :3].T, precision="highest") + Ainv[:3, 3]
 
 
 def transform_hu_to_density(volume: jnp.ndarray, bone_attenuation_multiplier: float | jnp.ndarray = 1.0) -> jnp.ndarray:

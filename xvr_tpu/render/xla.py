@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 
 def _apply_affine(A: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    return pts @ A[:3, :3].T + A[:3, 3]
+    # precision="highest": default TPU matmul (bf16) adds ~0.5 mm of noise
+    # to ray endpoints — fatal for sub-mm registration geometry
+    return jnp.matmul(pts, A[:3, :3].T, precision="highest") + A[:3, 3]
 
 
 def _aabb_alphas(s: jnp.ndarray, d: jnp.ndarray, shape) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -133,8 +135,11 @@ def raymarch_trilinear(
     large (auto) — same math, bounded memory, autodiff-compatible.
     """
     B, R = target.shape[0], target.shape[1]
-    if ray_chunk is None and B * R * n_samples > 2**27:
-        ray_chunk = max(1, 2**27 // (max(B, 1) * n_samples))
+    # 2^25 samples/chunk keeps the peak working set ~2-3 GB: at 2^27 a
+    # full-resolution render (1436^2 x 448 samples) crashed the TPU worker
+    # outright (each chunk materializes several (R_c, S, 3)-sized tensors)
+    if ray_chunk is None and B * R * n_samples > 2**25:
+        ray_chunk = max(1, 2**25 // (max(B, 1) * n_samples))
     if ray_chunk and ray_chunk < R:
         pad = (-R) % ray_chunk
         tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)), mode="edge")
