@@ -106,5 +106,15 @@ def animate(inpath, outpath, skip: int = 1, dpi: int = 192, fps: int = 30):
 
     outpath = Path(outpath)
     outpath.parent.mkdir(parents=True, exist_ok=True)
-    iio.imwrite(outpath, np.stack(frames), fps=fps)
+    stack = np.stack(frames)
+    try:
+        iio.imwrite(outpath, stack, fps=fps)
+    except (OSError, TypeError):
+        if outpath.suffix == ".gif":
+            raise
+        # no video backend (imageio-ffmpeg/pyav not installed): fall back to
+        # an animated GIF next to the requested path
+        outpath = outpath.with_suffix(".gif")
+        iio.imwrite(outpath, stack, duration=1000.0 / fps, loop=0)
+        print(f"No video backend for {fps} fps video; wrote {outpath}", flush=True)
     return outpath
