@@ -161,7 +161,7 @@ def main():
         raymarch_trilinear_shearwarp,
     )
 
-    B_SW = 64  # MXU utilization peaks with a larger pose batch
+    B_SW = 128  # MXU utilization peaks near this pose batch (measured sweep)
     prepared = prepare_shearwarp(density, perm)
     jax.block_until_ready(prepared)
     ww = measured_warp_window(
@@ -176,7 +176,7 @@ def main():
         src, tgt = det.rays(pose)
         return raymarch_trilinear_shearwarp(
             density, affinv, src, tgt, perm=perm, prepared=prepared,
-            warp_window=ww, unroll=32,
+            warp_window=ww, unroll=64,
         )
 
     t0 = time.perf_counter()
