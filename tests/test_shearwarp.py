@@ -178,3 +178,34 @@ def test_shearwarp_steep_pose_accuracy():
     for i in range(5):
         err = np.abs(out[i] - ref[i]).max() / np.abs(ref[i]).max()
         assert err < 0.06, (i, err)
+
+
+def test_noncubic_anisotropic_volume():
+    """Real CTs are non-cubic with anisotropic spacing (DeepFluoro: 512x512xZ
+    at ~0.8x0.8x thicker slices). The shear-warp factorization must handle
+    unequal extents/spacings per axis."""
+    from xvr_tpu.render import Projector
+    from xvr_tpu.render.volume import Volume
+
+    rng = np.random.default_rng(3)
+    nx, ny, nz = 48, 40, 28
+    gx = np.linspace(-1, 1, nx)[:, None, None]
+    gy = np.linspace(-1, 1, ny)[None, :, None]
+    gz = np.linspace(-1, 1, nz)[None, None, :]
+    blob = np.exp(-((gx * 1.1) ** 2 + (gy * 0.9) ** 2 + (gz * 1.3) ** 2) * 5.0)
+    hu = (blob * 900.0 - 1000.0 * (1 - blob)).astype(np.float32)
+    sx, sy, sz = 1.6, 1.6, 3.0  # anisotropic spacing (thick slices)
+    aff = np.diag([sx, sy, sz, 1.0]).astype(np.float32)
+    aff[:3, 3] = [-(nx - 1) / 2 * sx, -(ny - 1) / 2 * sy, -(nz - 1) / 2 * sz]
+    vol = Volume(data=jnp.asarray(hu), affine=jnp.asarray(aff))
+    proj = Projector.from_volume(vol, sdd=700.0, height=48, delx=2.5)
+    rot = jnp.asarray([[181.0, -2.0, 1.5], [178.0, 3.0, -2.0]])
+    xyz = jnp.asarray([[4.0, 400.0, -6.0], [-3.0, 450.0, 5.0]])
+    pose = convert(rot, xyz, "euler_angles", "ZXY", degrees=True)
+    ref = np.asarray(proj(pose))
+    sw = proj.with_shearwarp(pose, differentiable=False)
+    assert sw.renderer == "trilinear_shearwarp"
+    out = np.asarray(sw(pose))
+    for i in range(2):
+        err = np.abs(out[i] - ref[i]).max() / np.abs(ref[i]).max()
+        assert err < 0.05, (i, err)
