@@ -1,0 +1,90 @@
+"""CLI-level smoke tests: the command tree drives the real engines end to end
+(tiny configs, CPU). Mirrors the reference's command surface
+(/root/reference/src/xvr/cli/cli.py:28-59)."""
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+import jax
+import jax.numpy as jnp
+
+from xvr_tpu.cli.cli import cli
+from xvr_tpu.geometry import convert
+from xvr_tpu.io import dcmwrite, save_nifti
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    n, c, sp = 24, 11.5, 4.0
+    idx = np.arange(n)
+    X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+    r2 = (X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2
+    hu = np.where(r2 <= 8**2, 200.0, -1000.0).astype(np.float32)
+    hu += np.where(r2 <= 4**2, 800.0, 0.0)
+    aff = np.eye(4) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -c * sp
+    save_nifti(d / "ct.nii.gz", hu, aff)
+
+    from xvr_tpu.io.volumes import read
+    from xvr_tpu.render import Projector
+
+    proj = Projector.from_volume(read(d / "ct.nii.gz"), sdd=400.0, height=48, delx=4.0)
+    pose = convert(
+        jnp.asarray([[180.0, 2.0, -1.0]]), jnp.asarray([[3.0, 220.0, -2.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    img = np.asarray(proj(pose))[0, 0]
+    dcmwrite(d / "xray.dcm", (img / img.max() * 60000).astype(np.uint16),
+             sdd=400.0, row_spacing=4.0, col_spacing=4.0)
+    return d
+
+
+def _invoke(args):
+    return CliRunner().invoke(cli, args, catch_exceptions=False)
+
+
+def test_cli_version_and_help():
+    r = _invoke(["--version"])
+    assert r.exit_code == 0 and "version" in r.output
+    r = _invoke(["register", "--help"])
+    for sub in ("model", "dicom", "fixed", "restart"):
+        assert sub in r.output
+
+
+def test_cli_train_then_restart(workdir):
+    out = workdir / "models"
+    args = [
+        "train", "-v", str(workdir / "ct.nii.gz"), "-o", str(out),
+        "--r1", "165", "195", "--r2", "-5", "5", "--r3", "-5", "5",
+        "--tx", "-5", "5", "--ty", "150", "250", "--tz", "-5", "5",
+        "--sdd", "400", "--height", "32", "--delx", "4.0",
+        "--model_name", "resnet18", "--batch_size", "2",
+        "--n_total_itrs", "2", "--n_save_every_itrs", "1", "--lr", "1e-3",
+    ]
+    r = _invoke(args)
+    assert r.exit_code == 0, r.output
+    ckpts = sorted(out.glob("*.ckpt"))
+    assert ckpts, "train wrote no checkpoint"
+
+    r = _invoke(["restart", "-c", str(out)])
+    assert r.exit_code == 0, r.output
+
+
+def test_cli_register_fixed_and_animate(workdir):
+    res = workdir / "results"
+    r = _invoke([
+        "register", "fixed", str(workdir / "xray.dcm"),
+        "-v", str(workdir / "ct.nii.gz"), "-o", str(res),
+        "--rot", "3.18", "0.0", "0.0", "--xyz", "0.0", "225.0", "0.0",
+        "--scales", "2", "--n_itrs", "15", "--verbose", "0",
+    ])
+    assert r.exit_code == 0, r.output
+    bundle = res / "xray" / "parameters.npz"
+    assert bundle.exists(), list(res.rglob("*"))
+
+    r = _invoke(["animate", "-i", str(bundle), "-o", str(workdir / "traj.gif"), "--skip", "5"])
+    assert r.exit_code == 0, r.output
+    assert (workdir / "traj.gif").exists()
