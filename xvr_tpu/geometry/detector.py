@@ -80,6 +80,34 @@ class Detector:
         y = jnp.full((self.height, self.width), -self.sdd, dtype=dtype)
         return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
 
+    def rays_numpy(self, pose_matrix):
+        """Host-side (NumPy, float64) twin of :meth:`rays` for window/steepness
+        measurements: probe endpoints never touch the device, so per-stage
+        kernel sizing costs no device transfers (tens of MB per stage through
+        a remote-TPU tunnel otherwise).
+
+        ``pose_matrix``: (B, 4, 4) NumPy array of ALREADY-ORIENTED poses.
+        Returns (source (B, 1, 3), target (B, H*W, 3)).
+        """
+        import numpy as np
+
+        M = np.asarray(pose_matrix, dtype=np.float64).reshape(-1, 4, 4)
+        i = np.arange(self.height, dtype=np.float64)
+        j = np.arange(self.width, dtype=np.float64)
+        v = (i - (self.height - 1) / 2.0) * self.delx + self.y0
+        u = (j - (self.width - 1) / 2.0) * self.dely + self.x0
+        sx = -1.0 if self.reverse_x_axis else 1.0
+        x = np.broadcast_to(sx * u[None, :], (self.height, self.width))
+        z = np.broadcast_to(-v[:, None], (self.height, self.width))
+        y = np.full((self.height, self.width), -self.sdd)
+        tgt_cam = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        R, t = M[:, :3, :3], M[:, :3, 3]
+        source = t[:, None, :]
+        target = np.einsum("bij,nj->bni", R, tgt_cam) + t[:, None, :]
+        # f32 outputs: the window-measurement consumers run 10-30x slower on
+        # f64 strided slices, and f32 is plenty for integer window spans
+        return source.astype(np.float32), target.astype(np.float32)
+
     def rays(self, pose: RigidTransform, calibration: RigidTransform | None = None):
         """World-frame ray endpoints for a batch of poses.
 

@@ -343,11 +343,9 @@ class RegistrarBase:
                     convention=self.convention,
                 )
                 probes = _drift_probes(pose_now)
-                src_p, tgt_p = proj.rays(probes)
+                src_p, tgt_p = proj.rays_host(probes)
                 warp_w = measured_warp_window(
-                    np.asarray(jax.device_get(src_p)),
-                    np.asarray(jax.device_get(tgt_p)),
-                    np.asarray(jax.device_get(proj.affine_inverse)),
+                    src_p, tgt_p, proj.affine_inverse_host(),
                     proj.pallas_perm,
                     (proj.detector.height, proj.detector.width),
                     proj.shearwarp_grid,

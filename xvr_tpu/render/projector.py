@@ -207,13 +207,8 @@ class Projector:
         )
         probes = probe_poses if probe_poses is not None else reference_pose
         if probes is not None:
-            src, tgt = proj.rays(_batched(probes))
-            args = (
-                np.asarray(jax.device_get(src)),
-                np.asarray(jax.device_get(tgt)),
-                np.asarray(jax.device_get(proj.affine_inverse)),
-                perm,
-            )
+            src, tgt = proj.rays_host(probes)
+            args = (src, tgt, proj.affine_inverse_host(), perm)
             if measured_steepness(*args) > 1.2:
                 print(
                     "with_pallas: rays exceed 45deg of the march axis; "
@@ -273,13 +268,8 @@ class Projector:
         )
         probes = probe_poses if probe_poses is not None else reference_pose
         if probes is not None:
-            src, tgt = proj.rays(_batched(probes))
-            args = (
-                np.asarray(jax.device_get(src)),
-                np.asarray(jax.device_get(tgt)),
-                np.asarray(jax.device_get(proj.affine_inverse)),
-                perm,
-            )
+            src, tgt = proj.rays_host(probes)
+            args = (src, tgt, proj.affine_inverse_host(), perm)
             if measured_steepness(*args) > 2.8:
                 print(
                     "with_shearwarp: rays exceed ~70deg of the march axis; "
@@ -317,12 +307,10 @@ class Projector:
 
         if self.pallas_perm is None:
             raise ValueError("measure_window requires pallas_perm (use with_pallas)")
-        src, tgt = self.rays(_batched(poses))
+        src, tgt = self.rays_host(poses)
         vol_shape = tuple(int(self.density.shape[a]) for a in self.pallas_perm)
         span = measured_window_span(
-            np.asarray(jax.device_get(src)),
-            np.asarray(jax.device_get(tgt)),
-            np.asarray(jax.device_get(self.affine_inverse)),
+            src, tgt, self.affine_inverse_host(),
             self.pallas_perm,
             (self.detector.height, self.detector.width),
             vol_shape,
@@ -351,6 +339,25 @@ class Projector:
     def rays(self, pose: RigidTransform, calibration=None):
         """(source, target) world-space ray endpoints (trainer.py:283)."""
         return self.detector.rays(self._oriented(pose), calibration)
+
+    def rays_host(self, pose: RigidTransform):
+        """Host-side NumPy ray endpoints for kernel window/steepness
+        measurements — avoids shipping (B, H*W, 3) probe arrays through a
+        remote-device transport. Only the (B, 4, 4) pose matrices are
+        fetched."""
+        import numpy as np
+
+        M = np.asarray(jax.device_get(_batched(pose).matrix), np.float64)
+        F = np.asarray(
+            jax.device_get(orientation_transform(self.volume.orientation).matrix),
+            np.float64,
+        )
+        return self.detector.rays_numpy(M @ F)
+
+    def affine_inverse_host(self):
+        import numpy as np
+
+        return np.asarray(jax.device_get(self.affine_inverse), np.float32)
 
     def perspective_projection(self, pose: RigidTransform, pts: jnp.ndarray) -> jnp.ndarray:
         return self.detector.perspective_projection(self._oriented(pose), pts)
