@@ -26,6 +26,20 @@ class LocalRun:
             f.write(json.dumps({"event": "start", "config": _jsonable(config)}) + "\n")
 
     def log(self, metrics: dict):
+        metrics = dict(metrics)
+        fig = metrics.pop("imgs", None)
+        if fig is not None:
+            # matplotlib figure -> PNG next to the JSONL (wandb renders these
+            # natively; the local shim persists them to disk)
+            figdir = self._path.with_suffix("") / "figures"
+            figdir.mkdir(parents=True, exist_ok=True)
+            n = metrics.get("itr", len(list(figdir.glob("*.png"))))
+            out = figdir / f"{int(n):07d}.png"
+            try:
+                fig.savefig(out, dpi=120)
+                metrics["imgs"] = str(out)
+            except Exception:
+                pass
         with open(self._path, "a") as f:
             f.write(json.dumps(_jsonable(metrics), default=str) + "\n")
 

@@ -622,6 +622,11 @@ class Trainer:
                 _jax.profiler.stop_trace()
                 profiling = False
             metrics = self.step(itr)
+            if run is not None and itr % 250 == 0:
+                try:
+                    self._log_figures(itr, run)
+                except Exception as e:  # figure logging must never kill a run
+                    print(f"figure logging failed at itr {itr}: {e}", flush=True)
             if itr % log_every == 0:
                 last = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 last["itr"] = itr
@@ -642,6 +647,36 @@ class Trainer:
             f.write(json.dumps(metrics) + "\n")
         if run is not None:
             run.log(metrics)
+
+    def _log_figures(self, itr: int, run, n: int = 4):
+        """Render target/predicted DRR grids for experiment logging
+        (reference cadence: every 250 itrs, trainer.py:306-316)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..visualization.viz2d import plot_drr
+
+        self.key, k_pose = jax.random.split(self.key)
+        ranges = self.strata_ranges[0]
+        pose = get_random_pose(k_pose, batch_size=n, **ranges)
+        proj = self.projectors[0][0].replace(renderer="trilinear")
+        pose = pose.compose(make_translation(self.centers[0]))
+        img = jnp.sum(proj(pose), axis=1, keepdims=True)
+        x = self.transforms(img)
+        rot, xyz = self.model.apply(self.params, x)
+        pred_pose = self.model.decode(rot, xyz)
+        if self.reframe is not None:
+            pred_pose = pred_pose.compose(self.reframe)
+        pred = jnp.sum(proj(pred_pose), axis=1, keepdims=True)
+        imgs = np.asarray(jnp.concatenate([img, pred], axis=0))
+
+        fig, axs = plt.subplots(ncols=n, nrows=2, figsize=(2 * n, 4))
+        plot_drr(imgs, axs=axs.flatten(), ticks=False)
+        plt.tight_layout()
+        run.log({"itr": itr, "imgs": fig})
+        plt.close(fig)
 
     def _checkpoint(self, itr: int):
         path = self.outpath / f"{self.model_number:04d}.ckpt"
