@@ -18,7 +18,7 @@ from ..logging import start_run
     cls=CategorizedCommand,
     category_order=[
         "Required", "Data", "Sampling", "Renderer", "Model",
-        "Optimizer", "Checkpoint", "Logging",
+        "Optimizer", "Checkpoint", "Logging", "TPU",
     ],
 )
 @categorized_option("-v", "--volpath", required=True, type=click.Path(exists=True),
@@ -109,6 +109,11 @@ from ..logging import start_run
                     help="Run ID (useful when restarting from a checkpoint)", category="Logging")
 @categorized_option("--project", default=args.project, type=str,
                     help="Project name", category="Logging")
+@categorized_option("--n_devices", default=None, type=int,
+                    help="Chips to train on (default: all visible devices)", category="TPU")
+@categorized_option("--mesh_rays", default=None, type=int,
+                    help="Ray-parallel mesh axis size (default: auto; 1 = pure data parallel)",
+                    category="TPU")
 def train(
     volpath, maskpath, ckptpath, outpath, r1, r2, r3, tx, ty, tz,
     sdd, height, delx, renderer, orientation, reverse_x_axis,
@@ -117,7 +122,7 @@ def train(
     weight_dice, weight_mvc, batch_size, n_total_itrs, n_warmup_itrs,
     n_grad_accum_itrs, n_save_every_itrs, disable_scheduler, reuse_optimizer,
     warp, invert, patch_size, num_workers, pin_memory, sample_weights,
-    name, id, project,
+    name, id, project, n_devices, mesh_rays,
 ):
     """Train a pose regression model."""
     from pathlib import Path
@@ -162,6 +167,20 @@ def train(
         warp=warp, invert=invert,
     )
 
+    # Multi-chip: shard the pose batch (dp) and detector rows (rays) over the
+    # visible slice. The reference has no multi-device path (SURVEY.md 2c);
+    # this is the TPU-native scale-out, on by default whenever >1 chip is up.
+    import jax
+
+    mesh = None
+    n_dev = n_devices if n_devices is not None else len(jax.devices())
+    if n_dev > 1:
+        from ...parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev, rays=mesh_rays)
+        print(f"Training on {n_dev} devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+              flush=True)
+
     run = start_run(project=project, name=name or project, config=config, id=id)
-    trainer = Trainer(**config)
+    trainer = Trainer(**config, mesh=mesh)
     trainer.train(run)

@@ -231,9 +231,9 @@ class Projector:
         """Switch the trilinear renderer to the shear-warp MXU fast path.
 
         ``differentiable=True`` selects ``trilinear_fast`` (shear-warp forward
-        + slab-kernel analytic backward — the pairing validated in
-        tests/test_shearwarp.py); False selects the forward-only
-        ``trilinear_shearwarp``. Like :meth:`with_pallas`, the volume-axis
+        + the analytic shear-warp adjoint backward, ~3x forward cost — the
+        pairing validated in tests/test_shearwarp.py); False selects the
+        forward-only ``trilinear_shearwarp``. Like :meth:`with_pallas`, the volume-axis
         permutation and the static gather windows are fixed host-side from a
         representative pose; probe poses should bracket the poses that will be
         rendered (an undersized warp window silently clips). Falls back to
