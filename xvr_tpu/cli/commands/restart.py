@@ -26,7 +26,16 @@ def restart(ckptpath: str, id: str, project: str):
     config["reuse_optimizer"] = True
     config.pop("seed", None)
 
+    # same multi-chip default as `xvr train`
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ...parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     project = project or "xvr"
     run = start_run(project=project, name=project, config=config, id=id)
-    trainer = Trainer(**config)
+    trainer = Trainer(**config, mesh=mesh)
     trainer.train(run)
