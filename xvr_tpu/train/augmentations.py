@@ -95,9 +95,14 @@ def clahe(
     times and cost ~180 ms/step at batch 116 — this runs in ~1 ms.
     """
     B, C, H, W = x.shape
+    q = 2 * grid
+    if H % q or W % q:
+        # pad (reflect) to the cell quantum and crop back — CLAHE is a
+        # stochastic augmentation; sub-tile alignment shifts are immaterial
+        ph, pw = (-H) % q, (-W) % q
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect")
+        return clahe(xp, clip_limit, grid, n_bins)[..., :H, :W]
     th, tw = H // grid, W // grid
-    if th % 2 or tw % 2 or H % grid or W % grid:
-        raise ValueError(f"clahe requires H, W divisible by 2*grid; got {(H, W, grid)}")
     xq = x[:, 0]
     tiles = xq.reshape(B, grid, th, grid, tw).transpose(0, 1, 3, 2, 4)
     tiles = tiles.reshape(B, grid * grid, th * tw)
