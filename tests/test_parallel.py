@@ -1,0 +1,142 @@
+"""Multi-device mesh tests on the 8 virtual CPU devices (conftest.py).
+
+The reference is single-GPU (SURVEY.md section 2c), so the (dp, rays) mesh is
+new surface that must carry its own proof: sharded training steps must return
+finite metrics AND match the mesh-free computation bit-for-bit-ish (same PRNG
+key, GSPMD only reorders reductions), and ray-sharded renders must equal the
+unsharded render.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xvr_tpu.geometry import convert, make_translation
+from xvr_tpu.io import save_nifti
+from xvr_tpu.parallel import make_mesh, replicated, shard_batch, shard_rays
+from xvr_tpu.render import Projector
+from xvr_tpu.render.volume import make_test_volume
+from xvr_tpu.train.trainer import Trainer
+
+RANGES = dict(
+    alphamin=165.0, alphamax=195.0, betamin=-15.0, betamax=15.0,
+    gammamin=-15.0, gammamax=15.0, txmin=-10.0, txmax=10.0,
+    tymin=150.0, tymax=250.0, tzmin=-10.0, tzmax=10.0,
+)
+
+
+def _write_phantom(d):
+    n, spacing = 24, 4.0
+    c = (n - 1) / 2
+    idx = np.arange(n)
+    X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+    r2 = (X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2
+    hu = np.where(r2 <= (n / 3) ** 2, 200.0, -1000.0).astype(np.float32)
+    hu += np.where(r2 <= (n / 6) ** 2, 800.0, 0.0)
+    aff = np.eye(4) * spacing
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -c * spacing
+    save_nifti(d / "ct.nii.gz", hu, aff)
+    return d / "ct.nii.gz"
+
+
+def _trainer(volpath, outdir, mesh=None, **kw):
+    args = dict(
+        volpath=volpath, maskpath=None, outpath=outdir,
+        sdd=400.0, height=32, delx=4.0, model_name="resnet18",
+        batch_size=8, n_total_itrs=2, n_warmup_itrs=1,
+        n_grad_accum_itrs=1, n_save_every_itrs=100, lr=1e-3,
+        mesh=mesh, **RANGES,
+    )
+    args.update(kw)
+    return Trainer(**args)
+
+
+def test_make_mesh_shapes():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    m2 = make_mesh(2)
+    assert dict(m2.shape) == {"dp": 2, "rays": 1}
+    m8 = make_mesh(8)
+    assert dict(m8.shape) == {"dp": 4, "rays": 2}
+    m8dp = make_mesh(8, rays=1)
+    assert dict(m8dp.shape) == {"dp": 8, "rays": 1}
+    with pytest.raises(ValueError):
+        make_mesh(6, rays=4)
+
+
+def test_sharded_step_finite_8dev(tmp_path):
+    vol = _write_phantom(tmp_path)
+    mesh = make_mesh(8)
+    tr = _trainer(vol, tmp_path / "out", mesh=mesh)
+    with mesh:
+        metrics = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    assert 0.0 <= metrics["kept"] <= 1.0
+
+
+def test_dp_sharded_loss_matches_single_device(tmp_path):
+    """Same seed => identical pose/contrast/augment draws, so the dp-sharded
+    loss must equal the mesh-free loss up to reduction reordering."""
+    vol = _write_phantom(tmp_path)
+    tr_ref = _trainer(vol, tmp_path / "ref", mesh=None, seed=7)
+    m_ref = {k: float(v) for k, v in jax.device_get(tr_ref.step(0)).items()}
+
+    mesh = make_mesh(2)
+    tr_dp = _trainer(vol, tmp_path / "dp", mesh=mesh, seed=7)
+    with mesh:
+        m_dp = {k: float(v) for k, v in jax.device_get(tr_dp.step(0)).items()}
+
+    assert np.isfinite(m_ref["loss"]) and np.isfinite(m_dp["loss"])
+    np.testing.assert_allclose(m_dp["loss"], m_ref["loss"], rtol=2e-4)
+    np.testing.assert_allclose(m_dp["kept"], m_ref["kept"], atol=1e-6)
+
+    # parameters after the update must agree too (grad psum == serial sum)
+    leaves_ref = jax.tree.leaves(tr_ref.params)
+    leaves_dp = jax.tree.leaves(jax.device_get(tr_dp.params))
+    for a, b in zip(leaves_ref, leaves_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+def test_shard_rays_render_matches_unsharded():
+    """A ray-sharded render over (dp, rays) equals the single-device render."""
+    vol = make_test_volume(24, spacing=4.0, kind="sphere")
+    proj = Projector.from_volume(vol, sdd=400.0, height=32, delx=4.0, n_samples=64)
+    pose = convert(
+        jnp.asarray([[180.0, 5.0, -3.0], [170.0, -5.0, 3.0]]),
+        jnp.asarray([[0.0, 200.0, 0.0], [5.0, 220.0, -5.0]]),
+        parameterization="euler_angles", convention="ZXY", degrees=True,
+    ).compose(make_translation(vol.center))
+
+    ref = jax.jit(lambda m: proj(__import__("xvr_tpu").geometry.RigidTransform(m)))(
+        pose.matrix
+    )
+
+    mesh = make_mesh(8)
+
+    @jax.jit
+    def sharded(matrix):
+        from xvr_tpu.geometry import RigidTransform
+
+        p = RigidTransform(shard_batch(mesh, matrix))
+        src, tgt = proj.rays(p)
+        tgt = shard_rays(mesh, tgt)
+        raw = proj.render_rays(src, tgt)
+        return proj.reshape_transform(raw, matrix.shape[0])
+
+    with mesh:
+        out = jax.device_get(sharded(pose.matrix))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_replicated_and_shard_batch_specs():
+    mesh = make_mesh(8)
+    x = jnp.arange(16.0).reshape(8, 2)
+    xr = replicated(mesh, x)
+    assert xr.sharding.is_fully_replicated
+    with mesh:
+        xs = jax.jit(lambda v: shard_batch(mesh, v))(x)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+    # batch axis actually split over dp
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert (2, 2) in shard_shapes
