@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# Keep test runs out of the working tree: the CLI's JSONL logger defaults to
+# ./runs, which pytest invocations would otherwise dirty on every run.
+import tempfile  # noqa: E402
+
+os.environ.setdefault("XVR_LOG_DIR", tempfile.mkdtemp(prefix="xvr_test_logs_"))

@@ -129,6 +129,39 @@ def test_shard_rays_render_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_mesh_step_uses_fast_renderer(tmp_path):
+    """Under a mesh the shear-warp MXU renderer still upgrades (no slab
+    fallback): the sharded step renders through shard_map and matches the
+    mesh-free fast-path step for the same PRNG key."""
+    vol = _write_phantom(tmp_path)
+
+    tr_ref = _trainer(vol, tmp_path / "ref", mesh=None, seed=3)
+    assert tr_ref._try_shearwarp_strata([165.0, 195.0])
+    tr_ref._step = tr_ref._build_step()
+    m_ref = {k: float(v) for k, v in jax.device_get(tr_ref.step(0)).items()}
+
+    mesh = make_mesh(8)
+    tr = _trainer(vol, tmp_path / "mesh", mesh=mesh, seed=3)
+    assert tr._try_shearwarp_strata([165.0, 195.0])
+    assert all(p.renderer == "trilinear_fast" for p in tr.projectors[0])
+    assert all(c % mesh.size == 0 for c in tr.strata_counts)
+    tr._step = tr._build_step()
+    with mesh:
+        m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+
+    assert np.isfinite(m["loss"])
+    np.testing.assert_allclose(m["loss"], m_ref["loss"], rtol=2e-3)
+    np.testing.assert_allclose(m["kept"], m_ref["kept"], atol=1e-6)
+
+
+def test_mesh_rounds_batch_to_device_multiple(tmp_path):
+    vol = _write_phantom(tmp_path)
+    mesh = make_mesh(8)
+    tr = _trainer(vol, tmp_path / "o", mesh=mesh, batch_size=10)
+    assert tr.batch_size == 16
+    assert tr.config["batch_size"] == 16
+
+
 def test_replicated_and_shard_batch_specs():
     mesh = make_mesh(8)
     x = jnp.arange(16.0).reshape(8, 2)

@@ -20,6 +20,8 @@ from xvr_tpu.render.shearwarp import (
     default_grid_shape,
     measured_warp_window,
     prepare_shearwarp,
+    raymarch_siddon_fast,
+    raymarch_siddon_shearwarp,
     raymarch_trilinear_fast,
     raymarch_trilinear_shearwarp,
 )
@@ -146,6 +148,206 @@ def test_projector_with_shearwarp():
 
     g = np.asarray(jax.grad(loss)(xyz))
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_siddon_forward_matches_golden(scene):
+    """Siddon-flavored shear-warp (narrow trapezoid profile) vs exact XLA
+    Siddon: identical up to the quarter-voxel transverse smoothing."""
+    density, affinv, det, src, tgt, perm, ref = scene
+    ww = measured_warp_window(
+        np.asarray(src), np.asarray(tgt), np.asarray(affinv), perm, (H, H)
+    )
+    gold = np.asarray(xla.raymarch_siddon(density, affinv, src, tgt))
+    out = np.asarray(
+        raymarch_siddon_shearwarp(density, affinv, src, tgt, perm=perm, warp_window=ww)
+    )
+    scale = np.abs(gold).max()
+    # the scene carries per-voxel noise, so the eps-wide transverse smoothing
+    # shows up directly against hard nearest-neighbor: ~4% linf, corr 0.9999
+    assert np.abs(out - gold).max() / scale < 0.06
+    assert np.corrcoef(out.ravel(), gold.ravel())[0, 1] > 0.999
+
+
+def test_siddon_fast_gradient_finite_difference(scene):
+    """The analytic adjoint is the exact gradient of the eps-smoothed Siddon
+    forward: central finite differences of the SAME function must agree."""
+    density, affinv, det, src, tgt, perm, ref = scene
+    ww = measured_warp_window(
+        np.asarray(src), np.asarray(tgt), np.asarray(affinv), perm, (H, H)
+    )
+    ref0 = jnp.asarray(ref[:1])
+
+    def f(r6):
+        p = convert(r6[None, :3], r6[None, 3:], "euler_angles", "ZXY", degrees=True)
+        s, t = det.rays(p)
+        img = raymarch_siddon_fast(
+            density, affinv, s, t, perm=perm, warp_window=ww
+        )
+        return jnp.sum((img - ref0) ** 2)
+
+    r0 = np.asarray([2.2, -1.3, 2.7, 4.0, 610.0, -7.0])
+    g = np.asarray(jax.grad(f)(jnp.asarray(r0)))
+    fd = np.zeros(6)
+    hs = [1e-3] * 3 + [1e-2] * 3
+    for i in range(6):
+        e = np.zeros(6)
+        e[i] = hs[i]
+        fd[i] = (float(f(jnp.asarray(r0 + e))) - float(f(jnp.asarray(r0 - e)))) / (2 * hs[i])
+    cos = g @ fd / (np.linalg.norm(g) * np.linalg.norm(fd))
+    assert cos > 0.99, (g, fd)
+    assert abs(np.linalg.norm(g) / np.linalg.norm(fd) - 1.0) < 0.1
+
+
+def _label_scene():
+    """Anisotropic blob with a 2-label sphere mask."""
+    rng = np.random.default_rng(5)
+    n = 40
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    r2 = X**2 + Y**2 + Z**2
+    blob = np.exp(-r2 * 4.0)
+    density = jnp.asarray((blob * 0.8 + rng.uniform(0, 0.02, blob.shape)).astype(np.float32))
+    mask = np.zeros((n, n, n), np.int32)
+    mask[r2 < 0.5] = 1
+    mask[(X > 0) & (r2 < 0.25)] = 2
+    spacing = 2.4
+    aff = np.eye(4, dtype=np.float32) * spacing
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(n - 1) / 2.0 * spacing
+    affinv = jnp.asarray(np.linalg.inv(aff))
+    det = Detector(sdd=800.0, height=32, width=32, delx=3.0, dely=3.0)
+    pose = convert(
+        jnp.asarray([[181.0, -2.0, 1.0], [177.0, 3.0, -1.5]]),
+        jnp.asarray([[3.0, 450.0, -4.0], [-2.0, 500.0, 3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    src, tgt = det.rays(pose)
+    from xvr_tpu.render.pallas import _choose_permutation
+
+    d_mean = np.asarray(tgt.mean((0, 1)) - src.mean((0, 1)))
+    A = np.asarray(affinv)
+    perm = _choose_permutation(A[:3, :3] @ d_mean)
+    # a 32^2 detector fits inside one lane tile, so the per-tile slope-row
+    # span approaches the full grid: the window MUST be measured (an
+    # undersized one silently clips — the trap with_shearwarp documents)
+    ww = measured_warp_window(
+        np.asarray(src), np.asarray(tgt), np.asarray(affinv), perm, (32, 32)
+    )
+    return density, jnp.asarray(mask), affinv, src, tgt, perm, ww
+
+
+def _masked_volume_golden(density, mask, labels, affinv, src, tgt, n_samples=512):
+    """XLA-exact golden with the masked-volume channel semantics: channel c
+    renders density restricted to that label's voxels (trilinear of the
+    masked grid). This is the semantics the shear-warp channel path
+    implements; it differs from the NN-label golden only within one voxel of
+    label boundaries (both sum to the unmasked render)."""
+    fg = [np.asarray(mask) == l for l in labels]
+    bg = ~np.any(fg, axis=0)
+    chans = [
+        xla.raymarch_trilinear(density * jnp.asarray(w), affinv, src, tgt, n_samples=n_samples)
+        for w in [bg, *fg]
+    ]
+    return np.stack([np.asarray(c) for c in chans], axis=1)
+
+
+def test_channel_rendering_matches_golden():
+    """Per-channel masked-volume rendering: channels must sum exactly to the
+    unmasked render and match the XLA masked-volume golden; against the
+    NN-label golden (different boundary semantics) correlation stays high."""
+    density, mask, affinv, src, tgt, perm, ww = _label_scene()
+    labels = (1, 2)
+    out = np.asarray(
+        raymarch_trilinear_shearwarp(
+            density, affinv, src, tgt, mask=mask, labels=labels,
+            perm=perm, warp_window=ww,
+        )
+    )
+    assert out.shape[1] == 3  # background + 2 labels
+    total = np.asarray(
+        raymarch_trilinear_shearwarp(density, affinv, src, tgt, perm=perm, warp_window=ww)
+    )
+    np.testing.assert_allclose(out.sum(axis=1), total, rtol=1e-2, atol=1e-2)
+    gold = _masked_volume_golden(density, mask, labels, affinv, src, tgt)
+    scale = np.abs(gold).max()
+    for c in range(3):
+        err = np.abs(out[:, c] - gold[:, c]).max() / scale
+        assert err < 0.04, (c, err)
+    # NN-label golden: same integral, different boundary split — channels
+    # must still correlate strongly
+    nn = np.asarray(
+        xla.raymarch_trilinear(
+            density, affinv, src, tgt, n_samples=512, mask=mask, labels=labels
+        )
+    )
+    np.testing.assert_allclose(out.sum(axis=1), nn.sum(axis=1), rtol=2e-2, atol=2e-2)
+    for c in range(3):
+        cc = np.corrcoef(out[:, c].ravel(), nn[:, c].ravel())[0, 1]
+        # loosest for the low-magnitude background shell, where the boundary
+        # split is the largest relative effect
+        assert cc > 0.95, (c, cc)
+
+
+def test_channel_fast_path_differentiable():
+    """Gradients flow through the channel fast path and match the XLA channel
+    renderer's gradients in direction."""
+    density, mask, affinv, src, tgt, perm, ww = _label_scene()
+    labels = (1, 2)
+    det = Detector(sdd=800.0, height=32, width=32, delx=3.0, dely=3.0)
+    target_img = jnp.asarray(
+        _masked_volume_golden(density, mask, labels, affinv, src[:1], tgt[:1], n_samples=256)
+    )
+
+    def loss(render):
+        def f(r6):
+            p = convert(r6[None, :3], r6[None, 3:], "euler_angles", "ZXY", degrees=True)
+            s, t = det.rays(p)
+            return jnp.sum((render(s, t) - target_img) ** 2)
+
+        return f
+
+    fast = loss(
+        lambda s, t: raymarch_trilinear_fast(
+            density, affinv, s, t, mask=mask, labels=labels,
+            perm=perm, warp_window=ww,
+        )
+    )
+    fgs = [np.asarray(mask) == l for l in labels]
+    bgw = jnp.asarray(~np.any(fgs, axis=0))
+    ws = [bgw] + [jnp.asarray(w) for w in fgs]
+    gold = loss(
+        lambda s, t: jnp.stack(
+            [
+                xla.raymarch_trilinear(density * w, affinv, s, t, n_samples=256)
+                for w in ws
+            ],
+            axis=1,
+        )
+    )
+    r0 = jnp.asarray([180.5, -1.0, 0.5, 2.0, 460.0, -3.0])
+    gf = np.asarray(jax.grad(fast)(r0))
+    gx = np.asarray(jax.grad(gold)(r0))
+    assert np.isfinite(gf).all() and np.abs(gf).max() > 0
+    cos = gf @ gx / (np.linalg.norm(gf) * np.linalg.norm(gx))
+    assert cos > 0.98, (gf, gx)
+
+
+def test_projector_siddon_flavor():
+    """with_shearwarp on a siddon projector selects the siddon profile and
+    matches the XLA siddon render."""
+    from xvr_tpu.render import Projector, make_test_volume
+
+    vol = make_test_volume(32, spacing=2.0, kind="gradient")
+    proj = Projector.from_volume(vol, sdd=400.0, height=16, delx=3.0, renderer="siddon")
+    pose = convert(
+        jnp.asarray([[182.0, -1.5, 1.0]]), jnp.asarray([[2.0, 200.0, -3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    ref = np.asarray(proj(pose))  # XLA exact siddon
+    pp = proj.with_shearwarp(pose)
+    assert pp.renderer == "siddon_fast"
+    out = np.asarray(pp(pose))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.06
 
 
 def test_default_grid_shape_bounds():

@@ -262,6 +262,36 @@ def test_trainer_wide_sweep_strata(tiny_dataset, tmp_path):
     assert m["kept"] > 0.0, "wide-sweep samples must view the volume"
 
 
+def test_trainer_masked_fast_path(tiny_dataset, tmp_path):
+    """Foundation-style masked training upgrades to the shear-warp channel
+    renderer (no slab fallback) and trains a finite step."""
+    tr = make_trainer(
+        tiny_dataset, tmp_path / "out_mf",
+        maskpath=tiny_dataset / "mask.nii.gz",
+        n_total_itrs=1, n_grad_accum_itrs=1, batch_size=4,
+    )
+    assert tr.labels == (1,)
+    # the auto-upgrade is gated on TPU; drive the strata machinery directly
+    assert tr._try_shearwarp_strata([165.0, 195.0])
+    assert all(p.renderer == "trilinear_fast" for p in tr.projectors[0])
+    tr._step = tr._build_step()
+    m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m["loss"]) and np.isfinite(m["dice"])
+
+
+def test_trainer_siddon_fast_path(tiny_dataset, tmp_path):
+    """--renderer siddon upgrades to the siddon-flavored shear-warp profile."""
+    tr = make_trainer(
+        tiny_dataset, tmp_path / "out_sf",
+        renderer="siddon", n_total_itrs=1, n_grad_accum_itrs=1, batch_size=4,
+    )
+    assert tr._try_shearwarp_strata([165.0, 195.0])
+    assert all(p.renderer == "siddon_fast" for p in tr.projectors[0])
+    tr._step = tr._build_step()
+    m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m["loss"])
+
+
 def test_clahe_matches_per_pixel_reference():
     """The MXU half-tile-cell CLAHE must match the straightforward per-pixel
     gather formulation (tolerance = bf16 CDF quantization)."""

@@ -17,65 +17,65 @@ class BaseRegistrar(CategorizedCommand):
     default_params = [
         click.Argument(["xray"], nargs=-1, required=True, type=click.Path(exists=True)),
         CategorizedOption(["-v", "--volume"], required=True, type=click.Path(exists=True),
-                          help="Input CT volume (3D image)", category="Required"),
+                          help="Preoperative CT to register the X-ray against", category="Required"),
         CategorizedOption(["-m", "--mask"], type=click.Path(exists=True),
-                          help="Labelmap for the CT volume", category="Renderer"),
+                          help="Segmentation labelmap paired with the CT", category="Renderer"),
         CategorizedOption(["-o", "--outpath"], required=True, type=click.Path(),
-                          help="Directory for saving registration results", category="Required"),
+                          help="Where result bundles get written", category="Required"),
         CategorizedOption(["--crop"], default=args.crop, type=int,
-                          help="Center crop the X-ray image", category="Preprocessing"),
+                          help="Pixels trimmed from every X-ray border before processing", category="Preprocessing"),
         CategorizedOption(["--subtract_background"], default=args.subtract_background, is_flag=True,
-                          help="Subtract mode X-ray image intensity", category="Preprocessing"),
+                          help="Remove the most frequent intensity (background level) from the X-ray", category="Preprocessing"),
         CategorizedOption(["--linearize"], default=args.linearize, is_flag=True,
-                          help="Convert X-ray from exponential to linear form", category="Preprocessing"),
+                          help="Log-transform the X-ray into line-integral space", category="Preprocessing"),
         CategorizedOption(["--equalize"], default=args.equalize, is_flag=True,
-                          help="Apply histogram equalization to X-rays/DRRs during optimization",
+                          help="Run differentiable histogram equalization on both X-ray and DRRs",
                           category="Preprocessing"),
         CategorizedOption(["--reducefn"], default=args.reducefn,
-                          help="If DICOM is multiframe, method to extract a single 2D image",
+                          help="How to collapse a multi-frame DICOM to one image (max/sum/index)",
                           category="Preprocessing"),
         CategorizedOption(["--labels"], type=str,
-                          help="Labels in mask to exclusively render (comma-separated)",
+                          help="Restrict rendering to these labelmap values (comma-separated)",
                           category="Renderer"),
         CategorizedOption(["--scales"], default=args.scales, type=str,
-                          help="Scales of downsampling for multiscale registration (comma-separated)",
+                          help="Detector downscale factor per pyramid stage, coarse to fine (comma-separated)",
                           category="Optimizer"),
         CategorizedOption(["--n_itrs"], default=args.n_itrs, type=str,
-                          help="Number of iterations to run at each scale (comma-separated)",
+                          help="Optimization budget per pyramid stage (comma-separated)",
                           category="Optimizer"),
         CategorizedOption(["--reverse_x_axis"], default=args.reverse_x_axis, is_flag=True,
-                          help="Enable to obey radiologic convention (e.g., heart on right)",
+                          help="Mirror the detector x-axis (radiologic display convention)",
                           category="Renderer"),
         CategorizedOption(["--renderer"], default=args.renderer,
                           type=click.Choice(["siddon", "trilinear"]),
-                          help="Renderer equation", category="Renderer"),
+                          help="Ray-integration model for DRR synthesis", category="Renderer"),
         CategorizedOption(["--parameterization"], default=args.parameterization, type=str,
-                          help="Parameterization of SO(3) for regression", category="Optimizer"),
+                          help="Rotation representation optimized over", category="Optimizer"),
         CategorizedOption(["--convention"], default=args.convention, type=str,
-                          help="If parameterization is Euler angles, specify order", category="Optimizer"),
+                          help="Euler axis order when optimizing euler_angles", category="Optimizer"),
         CategorizedOption(["--voxel_shift"], default=args.voxel_shift, type=float,
-                          help="Position of voxel (top left corner or center)", category="Renderer"),
+                          help="Half-voxel origin offset (corner- vs center-anchored grids)", category="Renderer"),
         CategorizedOption(["--lr_rot"], default=args.lr_rot, type=float,
-                          help="Initial step size for rotational parameters", category="Optimizer"),
+                          help="Starting Adam step size for rotation", category="Optimizer"),
         CategorizedOption(["--lr_xyz"], default=args.lr_xyz, type=float,
-                          help="Initial step size for translational parameters", category="Optimizer"),
+                          help="Starting Adam step size for translation", category="Optimizer"),
         CategorizedOption(["--patience"], default=args.patience, type=int,
-                          help="Number of itrs without improvement before decreasing the learning rate",
+                          help="Stale iterations tolerated before the step size is cut 10x",
                           category="Optimizer"),
         CategorizedOption(["--threshold"], default=args.threshold, type=float,
-                          help="Threshold for measuring the new optimum", category="Optimizer"),
+                          help="Relative similarity gain that counts as progress", category="Optimizer"),
         CategorizedOption(["--max_n_plateaus"], default=args.max_n_plateaus, type=int,
-                          help="Number of times loss can plateau before moving to next scale",
+                          help="Step-size cuts allowed before a stage exits early",
                           category="Optimizer"),
         CategorizedOption(["--init_only"], default=args.init_only, is_flag=True,
-                          help="Directly return the initial pose estimate (no iterative pose refinement)",
+                          help="Skip refinement entirely; report the initialization",
                           category="Logging"),
         CategorizedOption(["--saveimg"], default=args.saveimg, is_flag=True,
-                          help="Save ground truth X-ray and predicted DRRs", category="Logging"),
+                          help="Also write PNG renders of the X-ray and final DRR", category="Logging"),
         CategorizedOption(["--pattern"], default=args.pattern, type=str,
-                          help="Pattern rule for glob if XRAY is a directory", category="Preprocessing"),
+                          help="Filename glob used when an XRAY argument is a directory", category="Preprocessing"),
         CategorizedOption(["--verbose"], default=args.verbose, type=click.IntRange(0, 3),
-                          help="Verbosity level for logging", category="Logging"),
+                          help="Console chatter, 0 (silent) to 3 (per-iteration)", category="Logging"),
     ]
 
     def __init__(self, *a, **kw):
@@ -108,13 +108,13 @@ def _base_kwargs(kw):
 
 @click.command(cls=BaseRegistrar)
 @categorized_option("-c", "--ckptpath", required=True, type=click.Path(exists=True),
-                    help="Checkpoint of a pretrained pose regressor", category="Required")
+                    help="Trained pose-regressor weights providing the initial pose", category="Required")
 @categorized_option("--warp", type=click.Path(exists=True),
-                    help="ITK transform to warp input CT to a template reference frame")
+                    help="Rigid ITK/ANTs transform into the model's training frame")
 @categorized_option("--invert", default=False, is_flag=True,
-                    help="Whether to invert the warp or not")
+                    help="Apply the warp transform inverted")
 @categorized_option("--antipodal", default=False, is_flag=True,
-                    help="Initialize from antipode of predicted pose")
+                    help="Also try the 180-degree-flipped prediction (PA/AP ambiguity)")
 def model(**kw):
     """Initialize from a pose regression model."""
     from ...registrar import RegistrarModel
@@ -129,7 +129,7 @@ def model(**kw):
 
 @click.command(cls=BaseRegistrar)
 @categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
-                    help="Orientation of the CT volume", category="Required")
+                    help="Anatomical viewing convention of the CT", category="Required")
 def dicom(**kw):
     """Initialize from the DICOM parameters of the X-ray."""
     from ...registrar import RegistrarDicom
@@ -142,11 +142,11 @@ def dicom(**kw):
 
 @click.command(cls=BaseRegistrar)
 @categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
-                    help="Orientation of the CT volume", category="Required")
+                    help="Anatomical viewing convention of the CT", category="Required")
 @categorized_option("--rot", required=True, nargs=3, type=float,
-                    help="Initial rotational parameters", category="Required")
+                    help="Starting rotation (three components)", category="Required")
 @categorized_option("--xyz", required=True, nargs=3, type=float,
-                    help="Initial translational parameters", category="Required")
+                    help="Starting translation (three components, mm)", category="Required")
 def fixed(**kw):
     """Initialize from a fixed pose."""
     from ...registrar import RegistrarFixed
@@ -160,9 +160,9 @@ def fixed(**kw):
 
 @click.command(cls=BaseRegistrar)
 @categorized_option("--orientation", default="AP", type=click.Choice(["AP", "PA"]),
-                    help="Orientation of the CT volume", category="Required")
+                    help="Anatomical viewing convention of the CT", category="Required")
 @categorized_option("--ckpt", required=True, type=click.Path(exists=True),
-                    help="Saved parameters.npz from a previous registration run", category="Required")
+                    help="Result bundle of an earlier run; its final pose seeds this one", category="Required")
 def restart(**kw):
     """Initialize from a previous final pose estimate."""
     import jax.numpy as jnp

@@ -22,93 +22,93 @@ from ..logging import start_run
     ],
 )
 @categorized_option("-v", "--volpath", required=True, type=click.Path(exists=True),
-                    help="A single CT or a directory with multiple volumes for pretraining", category="Required")
+                    help="CT volume to train on — one NIfTI file, or a directory of them for multi-subject pretraining", category="Required")
 @categorized_option("-m", "--maskpath", required=False, type=click.Path(exists=True),
-                    help="Optional labelmaps corresponding to the CTs passed in `volpath`", category="Data")
+                    help="Segmentation labelmap(s) matching volpath, enabling structure-masked rendering", category="Data")
 @categorized_option("-c", "--ckptpath", required=False, type=click.Path(exists=True),
-                    help="Checkpoint of a pretrained pose regressor", category="Checkpoint")
+                    help="Existing model weights to start from (finetuning)", category="Checkpoint")
 @categorized_option("-o", "--outpath", required=True, type=click.Path(),
-                    help="Directory in which to save model weights", category="Required")
+                    help="Where checkpoints get written", category="Required")
 @categorized_option("--r1", required=True, type=(float, float),
-                    help="Range for primary angle (in degrees)", category="Sampling")
+                    help="Sampling interval for the primary rotation, degrees", category="Sampling")
 @categorized_option("--r2", required=True, type=(float, float),
-                    help="Range for secondary angle (in degrees)", category="Sampling")
+                    help="Sampling interval for the secondary rotation, degrees", category="Sampling")
 @categorized_option("--r3", required=True, type=(float, float),
-                    help="Range for tertiary angle (in degrees)", category="Sampling")
+                    help="Sampling interval for the tertiary rotation, degrees", category="Sampling")
 @categorized_option("--tx", required=True, type=(float, float),
-                    help="Range for x-offset (in millimeters)", category="Sampling")
+                    help="Sampling interval for translation along x, mm", category="Sampling")
 @categorized_option("--ty", required=True, type=(float, float),
-                    help="Range for y-offset (in millimeters)", category="Sampling")
+                    help="Sampling interval for translation along y (source distance), mm", category="Sampling")
 @categorized_option("--tz", required=True, type=(float, float),
-                    help="Range for z-offset (in millimeters)", category="Sampling")
+                    help="Sampling interval for translation along z, mm", category="Sampling")
 @categorized_option("--sdd", required=True, type=float,
-                    help="Source-to-detector distance (in millimeters)", category="Renderer")
+                    help="Focal length of the C-arm: X-ray source to detector plane, mm", category="Renderer")
 @categorized_option("--height", required=True, type=int,
-                    help="DRR height (in pixels)", category="Renderer")
+                    help="Synthesized image side length, pixels", category="Renderer")
 @categorized_option("--delx", required=True, type=float,
-                    help="DRR pixel size (in millimeters / pixel)", category="Renderer")
+                    help="Detector pixel pitch, mm", category="Renderer")
 @categorized_option("--renderer", default=args.renderer,
                     type=click.Choice(["siddon", "trilinear"]),
-                    help="Rendering equation", category="Renderer")
+                    help="Ray-integration model for DRR synthesis", category="Renderer")
 @categorized_option("--orientation", default=args.orientation, type=click.Choice(["AP", "PA"]),
-                    help="Orientation of CT volumes", category="Renderer")
+                    help="Anatomical viewing convention for the volumes", category="Renderer")
 @categorized_option("--reverse_x_axis", default=args.reverse_x_axis, is_flag=True,
-                    help="Enable to obey radiologic convention (e.g., heart on right)", category="Renderer")
+                    help="Mirror the detector x-axis (radiologic display convention)", category="Renderer")
 @categorized_option("--model_name", default=args.model_name, type=str,
-                    help="Name of the CNN backbone to instantiate", category="Model")
+                    help="Backbone architecture for the pose regressor (resnet18/34/50/101)", category="Model")
 @categorized_option("--norm_layer", default=args.norm_layer, type=str,
-                    help="Normalization layer", category="Model")
+                    help="Normalization used inside the backbone (groupnorm recommended)", category="Model")
 @categorized_option("--pretrained", default=args.pretrained, is_flag=True,
                     help="Initialize the backbone from ImageNet-1k weights (torchvision state_dict via $XVR_PRETRAINED_DIR or the torch hub cache)", category="Model")
 @categorized_option("--parameterization", default=args.parameterization, type=str,
-                    help="Parameterization of SO(3) for regression", category="Model")
+                    help="Rotation representation the network predicts", category="Model")
 @categorized_option("--convention", default=args.convention, type=str,
-                    help="If `parameterization='euler_angles'`, specify order", category="Model")
+                    help="Euler axis order when predicting euler_angles", category="Model")
 @categorized_option("--unit_conversion_factor", default=args.unit_conversion_factor, type=float,
-                    help="Scale factor for translation prediction (e.g., from m to mm)", category="Model")
+                    help="Multiplier mapping network translation outputs to mm", category="Model")
 @categorized_option("--p_augmentation", default=args.p_augmentation, type=float,
-                    help="Base probability of image augmentations during training", category="Model")
+                    help="Chance each augmentation op fires on a training image", category="Model")
 @categorized_option("--lr", default=args.lr, type=float,
-                    help="Maximum learning rate", category="Optimizer")
+                    help="Peak learning rate of the warmup-cosine schedule", category="Optimizer")
 @categorized_option("--weight_ncc", default=args.weight_ncc, type=float,
-                    help="Weight on mNCC loss term", category="Optimizer")
+                    help="Contribution of multiscale NCC image similarity to the loss", category="Optimizer")
 @categorized_option("--weight_geo", default=args.weight_geo, type=float,
-                    help="Weight on geodesic loss term", category="Optimizer")
+                    help="Contribution of the SE(3) double-geodesic pose error to the loss", category="Optimizer")
 @categorized_option("--weight_dice", default=args.weight_dice, type=float,
-                    help="Weight on Dice loss term", category="Optimizer")
+                    help="Contribution of mask-overlap Dice to the loss", category="Optimizer")
 @categorized_option("--weight_mvc", default=args.weight_mvc, type=float,
-                    help="Weight on multiview consistency loss term", category="Optimizer")
+                    help="Contribution of cross-view pose consistency to the loss", category="Optimizer")
 @categorized_option("--batch_size", default=args.batch_size, type=int,
-                    help="Number of DRRs per batch", category="Sampling")
+                    help="Poses rendered and regressed per training step", category="Sampling")
 @categorized_option("--n_total_itrs", default=args.n_total_itrs, type=int,
-                    help="Number of iterations for training the model", category="Optimizer")
+                    help="Total training steps", category="Optimizer")
 @categorized_option("--n_warmup_itrs", default=args.n_warmup_itrs, type=int,
-                    help="Number of iterations for warming up the learning rate", category="Optimizer")
+                    help="Steps of linear LR ramp before cosine decay", category="Optimizer")
 @categorized_option("--n_grad_accum_itrs", default=args.n_grad_accum_itrs, type=int,
-                    help="Number of iterations for gradient accumulation", category="Optimizer")
+                    help="Steps whose gradients are averaged into one optimizer update", category="Optimizer")
 @categorized_option("--n_save_every_itrs", default=args.n_save_every_itrs, type=int,
-                    help="Number of iterations before saving a new model checkpoint", category="Optimizer")
+                    help="Checkpoint cadence, in steps", category="Optimizer")
 @categorized_option("--disable_scheduler", default=args.disable_scheduler, is_flag=True,
-                    help="Turn off cosine learning rate scheduler", category="Optimizer")
+                    help="Hold the learning rate constant instead of warmup-cosine", category="Optimizer")
 @categorized_option("--reuse_optimizer", default=args.reuse_optimizer, is_flag=True,
-                    help="If ckptpath passed, initialize the previous optimizer's state", category="Checkpoint")
+                    help="Also restore optimizer state from ckptpath (exact resume)", category="Checkpoint")
 @categorized_option("-w", "--warp", type=click.Path(exists=True),
-                    help="ITK transform to warp input CT to the checkpoint's reference frame", category="Checkpoint")
+                    help="Rigid ITK/ANTs transform aligning this CT to the frame the checkpoint was trained in", category="Checkpoint")
 @categorized_option("--invert", default=args.invert, is_flag=True,
-                    help="Whether to invert the warp or not", category="Checkpoint")
+                    help="Apply the warp transform inverted", category="Checkpoint")
 @categorized_option("--patch_size", default=None, type=str,
-                    help="Optional random crop size (e.g., 'h,w,d'); if None, return entire volume", category="Data")
+                    help="Train on random sub-volumes of this size ('h,w,d') instead of whole CTs", category="Data")
 @categorized_option("--num_workers", default=args.num_workers, type=int,
-                    help="Accepted for CLI parity (loading is synchronous on host)", category="Data")
+                    help="No-op here (kept so reference scripts parse); volumes stay resident on device", category="Data")
 @categorized_option("--pin_memory", default=args.pin_memory, is_flag=True,
-                    help="Accepted for CLI parity", category="Data")
+                    help="No-op here (kept so reference scripts parse)", category="Data")
 @categorized_option("--sample_weights", default=None, type=click.Path(exists=True),
-                    help="Probability for sampling each volume in `volpath`", category="Data")
-@categorized_option("--name", default=None, type=str, help="Run name", category="Logging")
+                    help="File of per-volume sampling probabilities for multi-subject training", category="Data")
+@categorized_option("--name", default=None, type=str, help="Label for this run in the experiment log", category="Logging")
 @categorized_option("--id", default=None, type=str,
-                    help="Run ID (useful when restarting from a checkpoint)", category="Logging")
+                    help="Stable run identifier, letting a restart append to the same log", category="Logging")
 @categorized_option("--project", default=args.project, type=str,
-                    help="Project name", category="Logging")
+                    help="Experiment-log project to file this run under", category="Logging")
 @categorized_option("--n_devices", default=None, type=int,
                     help="Chips to train on (default: all visible devices)", category="TPU")
 @categorized_option("--mesh_rays", default=None, type=int,

@@ -1,40 +1,50 @@
-"""Default registration arguments (semantics of
-/root/reference/src/xvr/config/registrar.py:5-38)."""
+"""Registration defaults.
+
+As with the trainer table, the VALUES are the compatibility contract with
+the reference CLI (/root/reference/src/xvr/config/registrar.py); the grouping
+below follows the stages of a registration run: read the X-ray, render DRRs,
+refine the pose, persist results.
+"""
 
 from dataclasses import dataclass
 
 
 @dataclass
 class RegistrarArgs:
-    """Default arguments for registration."""
+    """Every `xvr register` option that has a default.
 
-    # Preprocessing
-    crop: int = 0
-    subtract_background: bool = False
-    linearize: bool = False
-    equalize: bool = False
-    reducefn: str = "max"
-    pattern: str = "*.dcm"
+    X-ray ingestion: how intraoperative DICOMs are cropped, background-
+    corrected, linearized, and matched by filename glob.
+    """
 
-    # Renderer
+    crop: int = 0  # border pixels removed before everything else
+    subtract_background: bool = False  # mode-value background removal
+    linearize: bool = False  # log-transform to line integrals
+    equalize: bool = False  # differentiable histogram equalization
+    reducefn: str = "max"  # collapse rule for multi-frame DICOMs
+    pattern: str = "*.dcm"  # glob for X-ray files under a directory
+
+    # DRR synthesis during refinement.
     reverse_x_axis: bool = False
-    renderer: str = "trilinear"
+    renderer: str = "trilinear"  # or "siddon"; auto-upgrades to MXU paths
     voxel_shift: float = 0.0
 
-    # Optimizer
+    # Iterative refinement: a multiscale pyramid (detector downscale factors
+    # in `scales`, iterations per stage in `n_itrs`) optimized by Adam with
+    # split rotation/translation learning rates and plateau-based early exit.
     scales: str = "8"
     n_itrs: str = "500"
     parameterization: str = "euler_angles"
     convention: str = "ZXY"
     lr_rot: float = 1e-2
     lr_xyz: float = 1e0
-    patience: int = 10
-    threshold: float = 1e-4
-    max_n_plateaus: int = 3
+    patience: int = 10  # iterations without improvement before an lr drop
+    threshold: float = 1e-4  # relative improvement that resets the counter
+    max_n_plateaus: int = 3  # lr drops before the stage exits
 
-    # Logging
-    init_only: bool = False
-    saveimg: bool = False
+    # Outputs and chatter.
+    init_only: bool = False  # stop after the initial pose (no refinement)
+    saveimg: bool = False  # also write rendered PNG overlays
     verbose: int = 1
 
 

@@ -21,11 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import RigidTransform, convert
-from ..io.volumes import read
 from ..metrics.ncc import gradient_ncc, multiscale_ncc
+from ..render.load import initialize_drr
 from ..render.projector import Projector
 from ..utils.transforms import make_xray_transforms
-from .registration import Registration
 
 # Placeholder intrinsics used before a real DICOM is parsed (base.py:93-109)
 PLACEHOLDER = dict(height=1436, width=1436, sdd=1020.0, delx=0.194, dely=0.194)
@@ -143,16 +142,21 @@ class RegistrarBase:
         self.stage_warmup = stage_warmup
         self.save_kwargs = save_kwargs or {}
 
-        vol = read(volume, mask, labels=labels, orientation=orientation, **self.read_kwargs)
-        self.projector = Projector.from_volume(
-            vol,
+        self.projector = initialize_drr(
+            volume,
+            mask,
+            labels=None,  # registration renders the plain DRR
+            orientation=orientation,
+            x0=0.0,
+            y0=0.0,
             reverse_x_axis=reverse_x_axis,
             renderer=renderer,
-            labels=None,  # registration renders the plain DRR
-            voxel_shift=self.drr_kwargs.get("voxel_shift", 0.0),
+            read_kwargs=self.read_kwargs,
+            drr_kwargs=self.drr_kwargs,
             **PLACEHOLDER,
         )
         self._stage_cache: dict = {}
+        self._stage_compiles = 0  # executables built vs reused (perf telemetry)
 
     # ------------------------------------------------------------------
     def initialize_pose(self, i2d):
@@ -179,7 +183,7 @@ class RegistrarBase:
             return s[0]
 
         use_pallas = projector.renderer == "trilinear_pallas"
-        use_fast = projector.renderer == "trilinear_fast"
+        use_fast = projector.renderer.endswith("_fast")
 
         def loss_fn(rot, xyz, gt, density, packed, prepared):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
@@ -333,7 +337,7 @@ class RegistrarBase:
                     convention=self.convention,
                 )
                 proj = proj.tuned_for(_drift_probes(pose_now), quantum=16)
-            elif proj.renderer == "trilinear_fast":
+            elif proj.renderer.endswith("_fast"):
                 # per-stage warp window for the shear-warp forward (the
                 # analytic adjoint backward shares its geometry)
                 from ..render.shearwarp import measured_warp_window
@@ -358,6 +362,7 @@ class RegistrarBase:
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
+                self._stage_compiles += 1
             stage_fn, transform = self._stage_cache[key]
 
             gt_stage = transform(gt)
@@ -408,20 +413,22 @@ class RegistrarBase:
         import os as _os
 
         if (
-            self.renderer == "trilinear"
+            self.renderer in ("trilinear", "siddon")
             and jax.default_backend() == "tpu"
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
-            # decide march axis + check the 45deg regime on the coarsest stage
-            # (cheap rays); exact windows are re-measured per pyramid stage
+            # decide march axis + check the steepness regime on the coarsest
+            # stage (cheap rays); exact windows are re-measured per stage
             if not _os.environ.get("XVR_NO_SHEARWARP"):
-                # shear-warp MXU forward + slab-kernel analytic backward
+                # shear-warp MXU forward + the analytic shear-warp adjoint
+                # backward (backward="slab" remains a cross-check option);
+                # --renderer siddon upgrades to the siddon-flavored profile
                 coarse = self.projector.rescale_detector(scales[0]).with_shearwarp(
                     init_pose
                 )
-                if coarse.renderer == "trilinear_fast":
+                if coarse.renderer.endswith("_fast"):
                     self.projector = self.projector.replace(
-                        renderer="trilinear_fast",
+                        renderer=coarse.renderer,
                         pallas_perm=coarse.pallas_perm,
                         pallas_window=coarse.pallas_window,
                         pallas_remap=False,

@@ -1,9 +1,12 @@
 """Registration module: a pose parameterized for gradient optimization.
 
-API-parity replacement for ``diffdrr.registration.Registration``
-(/root/reference/src/xvr/registrar/base.py:11,168-169): holds learnable
-(rotation, translation) leaves in a chosen parameterization; calling it
-renders the projector at the current pose.
+COMPAT-ONLY public API: a drop-in replacement for
+``diffdrr.registration.Registration`` (/root/reference/src/xvr/registrar/
+base.py:11,168-169) for users porting notebook/script code from the
+reference stack. The registration ENGINE does not route through this class —
+its per-stage ``lax.while_loop`` keeps (rotation, translation) as plain
+arrays in the optimizer state (xvr_tpu/registrar/base.py:_make_stage), which
+is the jit-friendly form of the same computation.
 """
 
 from __future__ import annotations

@@ -227,29 +227,37 @@ class Projector:
         differentiable: bool = True,
         grid_shape: tuple[int, int] | None = None,
         quantum: int = 8,
+        flavor: str | None = None,
     ) -> "Projector":
-        """Switch the trilinear renderer to the shear-warp MXU fast path.
+        """Switch the renderer to the shear-warp MXU fast path.
 
-        ``differentiable=True`` selects ``trilinear_fast`` (shear-warp forward
+        ``differentiable=True`` selects ``{flavor}_fast`` (shear-warp forward
         + the analytic shear-warp adjoint backward, ~3x forward cost — the
         pairing validated in tests/test_shearwarp.py); False selects the
-        forward-only ``trilinear_shearwarp``. Like :meth:`with_pallas`, the volume-axis
-        permutation and the static gather windows are fixed host-side from a
-        representative pose; probe poses should bracket the poses that will be
-        rendered (an undersized warp window silently clips). Falls back to
-        ``self`` unchanged (XLA path) when probe rays exceed ~70 degrees of
-        the march axis — unlike the slab kernel (hard 45-degree invariants),
-        the shear-warp factorization has no correctness cliff: steeper rays
-        only widen the per-image slope grid, trading transverse resolution
-        (mild blur at the steepest poses). Labelmap channel rendering is
-        dispatched to the slab kernel (the shear-warp path has no channel
-        mode).
+        forward-only ``{flavor}_shearwarp``. ``flavor`` defaults to the
+        current renderer family: "trilinear" (tent profile) or "siddon"
+        (narrow trapezoid — the piecewise-constant Siddon model up to a
+        quarter-voxel transverse smoothing). Like :meth:`with_pallas`, the
+        volume-axis permutation and the static gather windows are fixed
+        host-side from a representative pose; probe poses should bracket the
+        poses that will be rendered (an undersized warp window silently
+        clips). Falls back to ``self`` unchanged (XLA path) when probe rays
+        exceed ~70 degrees of the march axis — unlike the slab kernel (hard
+        45-degree invariants), the shear-warp factorization has no
+        correctness cliff: steeper rays only widen the per-image slope grid,
+        trading transverse resolution (mild blur at the steepest poses).
+        Labelmap channel rendering runs natively (per-channel masked volumes
+        folded into the MXU accumulate).
         """
         from .pallas import choose_permutation_for_pose, measured_steepness
         from .shearwarp import measured_warp_window
 
         import numpy as np
 
+        if flavor is None:
+            flavor = "siddon" if self.renderer.startswith("siddon") else "trilinear"
+        if flavor not in ("trilinear", "siddon"):
+            raise ValueError(f"unknown shear-warp flavor {flavor!r}")
         if reference_pose is not None:
             oriented = self._oriented(_batched(reference_pose))
             R = np.asarray(jax.device_get(oriented.R)).reshape(-1, 3, 3).mean(axis=0)
@@ -261,7 +269,7 @@ class Projector:
             R, np.asarray(jax.device_get(self.affine_inverse))
         )
         proj = self.replace(
-            renderer="trilinear_fast" if differentiable else "trilinear_shearwarp",
+            renderer=f"{flavor}_fast" if differentiable else f"{flavor}_shearwarp",
             pallas_perm=perm,
             pallas_remap=False,
             shearwarp_grid=tuple(int(x) for x in grid_shape) if grid_shape else None,
@@ -378,13 +386,15 @@ class Projector:
 
     def prepare_for_shearwarp(self, density: jnp.ndarray | None = None):
         """Pre-permute/cast a density grid for the shear-warp renderer (hoist
-        out of optimization loops; pass via render_rays/__call__ ``prepared``)."""
+        out of optimization loops; pass via render_rays/__call__ ``prepared``).
+        With a labelmap, builds the (C, M, Wd, L) per-channel masked stack."""
         from .shearwarp import prepare_shearwarp
 
         density = self.density if density is None else density
         if self.pallas_perm is None:
             raise ValueError("prepare_for_shearwarp requires pallas_perm (use with_shearwarp)")
-        return prepare_shearwarp(density, self.pallas_perm)
+        mask = self.volume.mask if self.labels is not None else None
+        return prepare_shearwarp(density, self.pallas_perm, mask=mask, labels=self.labels)
 
     def render_rays(
         self,
@@ -403,34 +413,27 @@ class Projector:
         density = self.density if density is None else density
         mask = self.volume.mask if mask is None else mask
         labels = self.labels if mask is not None else None
-        if self.renderer in ("trilinear_shearwarp", "trilinear_fast"):
-            if labels is not None:
-                # channel rendering: shear-warp has no channel mode; use the
-                # slab kernel's channel path at the measured slab window
-                from .pallas import raymarch_trilinear_pallas
-
-                return raymarch_trilinear_pallas(
-                    density, self.affine_inverse, source, target,
-                    n_samples=self.n_samples, mask=mask, labels=labels,
-                    det_shape=(self.detector.height, self.detector.width),
-                    window=self.pallas_window,
-                    perm=self.pallas_perm,
-                    packed=packed,
-                    remap=self.pallas_remap,
-                )
+        if self.renderer in (
+            "trilinear_shearwarp", "trilinear_fast",
+            "siddon_shearwarp", "siddon_fast",
+        ):
             from .shearwarp import (
                 raymarch_trilinear_fast,
                 raymarch_trilinear_shearwarp,
             )
 
+            # Siddon flavor = narrow trapezoid profile (piecewise-constant
+            # model, quarter-voxel transverse smoothing); trilinear = tent
+            eps = 0.25 if self.renderer.startswith("siddon") else 1.0
             kwargs = dict(
                 det_shape=(self.detector.height, self.detector.width),
                 perm=self.pallas_perm,
                 prepared=prepared,
                 grid_shape=self.shearwarp_grid,
                 warp_window=self.shearwarp_window,
+                mask=mask, labels=labels, eps=eps,
             )
-            if self.renderer == "trilinear_fast":
+            if self.renderer.endswith("_fast"):
                 return raymarch_trilinear_fast(
                     density, self.affine_inverse, source, target,
                     packed=packed, slab_window=self.pallas_window, **kwargs,

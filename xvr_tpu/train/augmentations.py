@@ -95,6 +95,9 @@ def clahe(
     times and cost ~180 ms/step at batch 116 — this runs in ~1 ms.
     """
     B, C, H, W = x.shape
+    # images smaller than the 2*grid cell quantum degrade to a coarser grid
+    # (reflect-pad needs pad < dim, so padding alone cannot cover them)
+    grid = max(min(grid, H // 2, W // 2), 1)
     q = 2 * grid
     if H % q or W % q:
         # pad (reflect) to the cell quantum and crop back — CLAHE is a

@@ -117,6 +117,16 @@ class Trainer:
         self.outpath = Path(outpath)
         self.outpath.mkdir(parents=True, exist_ok=True)
         self.batch_size = int(batch_size)
+        if mesh is not None and self.batch_size % mesh.size:
+            # shard_map splits the pose batch exactly over every device; a
+            # device-divisible batch also keeps GSPMD layouts pad-free
+            rounded = -(-self.batch_size // mesh.size) * mesh.size
+            print(
+                f"multi-chip: batch_size {self.batch_size} -> {rounded} "
+                f"(multiple of {mesh.size} devices)", flush=True,
+            )
+            self.batch_size = rounded
+            cfg["batch_size"] = rounded
         self.n_total_itrs = int(n_total_itrs)
         self.n_grad_accum_itrs = int(n_grad_accum_itrs)
         self.n_save_every_itrs = int(n_save_every_itrs)
@@ -173,7 +183,7 @@ class Trainer:
         self.projectors = [(p,) for p in self.projectors]
 
         if (
-            renderer == "trilinear"
+            renderer in ("trilinear", "siddon")
             and jax.default_backend() == "tpu"
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
@@ -192,18 +202,20 @@ class Trainer:
             # The step is compiled ONCE for all subjects, so the kernel
             # layout/windows must be unified from worst-case measurements
             # across every subject.
+            # shear-warp MXU renderer (forward + analytic adjoint backward;
+            # per-channel masked volumes for labelmap rendering), stratifying
+            # the alpha range if one permutation cannot cover the whole sweep.
+            # Under a mesh the render runs inside shard_map over the flattened
+            # device axes (the factorization is per-image, so batch sharding
+            # is mechanical); strata shares are rounded to device multiples.
             upgraded_ok = False
-            if labels is None and mesh is None:
-                # single-channel: shear-warp MXU renderer (forward + analytic
-                # adjoint backward), stratifying the alpha range if one
-                # permutation cannot cover the whole sweep
-                for edges in self._stratum_candidates():
-                    if self._try_shearwarp_strata(edges):
-                        upgraded_ok = True
-                        break
-            if not upgraded_ok:
+            for edges in self._stratum_candidates():
+                if self._try_shearwarp_strata(edges):
+                    upgraded_ok = True
+                    break
+            if not upgraded_ok and renderer == "trilinear" and labels is None:
                 self.projectors = [p[0] for p in self.projectors]
-                # labelmap channel rendering / ray-sharded meshes: slab kernel
+                # steep-ray fallback: the slab-marching Pallas kernel
                 upgraded = [
                     p.with_pallas(ref, probe_poses=probes, window=48)
                     for p in self.projectors
@@ -391,20 +403,25 @@ class Trainer:
             probes = self._probe_corners(**sub)
             upgraded = [p.with_shearwarp(ref, probe_poses=probes) for p in flat]
             perms = {p.pallas_perm for p in upgraded}
-            if not all(p.renderer == "trilinear_fast" for p in upgraded) or len(perms) != 1:
+            if not all(p.renderer.endswith("_fast") for p in upgraded) or len(perms) != 1:
                 return False
             warp_w = max(p.shearwarp_window for p in upgraded)
             strata_projs.append([p.replace(shearwarp_window=warp_w) for p in upgraded])
             strata_ranges.append(sub)
 
-        # batch shares proportional to widths (largest-remainder rounding)
+        # batch shares proportional to widths (largest-remainder rounding) —
+        # in units of the device count when a mesh shards the render, so
+        # every stratum splits exactly over shard_map's flattened device axes
+        unit = 1 if self.mesh is None else int(self.mesh.size)
         widths = np.diff(edges)
-        exact = widths / widths.sum() * self.batch_size
+        units_total = self.batch_size // unit
+        exact = widths / widths.sum() * units_total
         counts = np.floor(exact).astype(int)
-        for i in np.argsort(exact - counts)[::-1][: self.batch_size - counts.sum()]:
+        for i in np.argsort(exact - counts)[::-1][: units_total - counts.sum()]:
             counts[i] += 1
         if (counts <= 0).any():
             return False
+        counts = counts * unit
 
         self.projectors = [
             tuple(strata_projs[k][s] for k in range(K)) for s in range(len(flat))
@@ -447,7 +464,11 @@ class Trainer:
         use_reframe = self.reframe is not None
         mesh = self.mesh
         if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
             from ..parallel.mesh import shard_batch, shard_rays
+
+            mesh_axes = tuple(mesh.axis_names)
         else:
             shard_batch = shard_rays = None
 
@@ -455,6 +476,25 @@ class Trainer:
             if mesh is None:
                 return pose
             return RigidTransform(shard_batch(mesh, pose.matrix))
+
+        def _sharded_fast_render(proj):
+            """Shear-warp render under the mesh: the factorization is
+            per-image, so the pose batch shards over the FLATTENED device
+            axes (dp x rays both act as data parallelism — ray sharding has
+            no meaning for a whole-image slope-space pipeline) via shard_map;
+            the Pallas warp cannot be auto-partitioned by GSPMD. Density and
+            the prepared volume replicate; XLA lays the gradient psum on ICI."""
+
+            def body(pose_mat, density, prepared):
+                src, tgt = proj.rays(RigidTransform(pose_mat))
+                return proj.render_rays(src, tgt, density=density, prepared=prepared)
+
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(mesh_axes), P(), P()),
+                out_specs=P(mesh_axes),
+                check_vma=False,  # custom_vjp inside the body
+            )
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
 
@@ -466,12 +506,17 @@ class Trainer:
                 pose_k = RigidTransform(
                     jax.lax.slice_in_dim(pose.matrix, int(offsets[k]), int(offsets[k + 1]))
                 )
-                src, tgt = proj.rays(pose_k)
-                if mesh is not None:
-                    tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
-                raw = proj.render_rays(
-                    src, tgt, density=density, packed=packed[k], prepared=prepared[k]
-                )
+                if mesh is not None and proj.renderer.endswith(("_fast", "_shearwarp")):
+                    raw = _sharded_fast_render(proj)(
+                        pose_k.matrix, density, prepared[k]
+                    )
+                else:
+                    src, tgt = proj.rays(pose_k)
+                    if mesh is not None:
+                        tgt = shard_rays(mesh, tgt)  # ray-parallel render over ICI
+                    raw = proj.render_rays(
+                        src, tgt, density=density, packed=packed[k], prepared=prepared[k]
+                    )
                 imgs.append(proj.reshape_transform(raw, int(counts[k])))
             return jnp.concatenate(imgs, axis=0) if len(imgs) > 1 else imgs[0]
 
@@ -502,8 +547,7 @@ class Trainer:
                 )
                 prepared.append(
                     proj.prepare_for_shearwarp(density)
-                    if ren in ("trilinear_fast", "trilinear_shearwarp")
-                    and proj.labels is None
+                    if ren.endswith(("_fast", "_shearwarp"))
                     else None
                 )
 
