@@ -187,10 +187,76 @@ def main():
         n_windows=6, n_iter=15,
     )
 
+    # --- Siddon-flavored shear-warp (the framework's fast `--renderer
+    # siddon` path: trapezoid profile at small eps; see render/shearwarp.py)
+    from xvr_tpu.render.shearwarp import raymarch_siddon_shearwarp
+
+    @jax.jit
+    def render_siddon_fast(prepared, key):
+        pose = get_random_pose(key, batch_size=B_SW, **ranges)
+        src, tgt = det.rays(pose)
+        return raymarch_siddon_shearwarp(
+            density, affinv, src, tgt, perm=perm, prepared=prepared,
+            warp_window=ww, unroll=64,
+        )
+
+    t0 = time.perf_counter()
+    render_siddon_fast(prepared, jax.random.PRNGKey(0)).block_until_ready()
+    log(f"siddon_fast 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
+    sid_fast = timed_windows(
+        lambda k: render_siddon_fast(prepared, k), B_SW, "siddon_fast 256^2",
+        n_windows=4, n_iter=15,
+    )
+
     tri = bench(render_trilinear, "slab trilinear 256^2")
-    sid = bench(render_siddon, "siddon 256^2")
+    sid = bench(render_siddon, "siddon exact 256^2")
+
+    # --- end-to-end figures: train-step ms at the reference finetune
+    # operating point and cold/warm registration at the reference budget
+    # (VERDICT r1 #7/#10: these used to be self-reported in docs only)
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent / "scripts"))
+    train_stats = reg_stats = None
+    try:
+        import bench_train
+
+        train_stats = bench_train.run(n_windows=2, n_steps=10)
+        log(f"train step: {train_stats['value']} ms")
+    except Exception as e:  # pragma: no cover - keep the headline line alive
+        log(f"bench_train failed: {type(e).__name__}: {e}")
+    try:
+        import bench_register
+
+        reg_stats = bench_register.run()
+        log(f"register warm: {reg_stats['warm_runtime_s']} s, "
+            f"mTRE {reg_stats['mtre_final_mm']} mm")
+    except Exception as e:  # pragma: no cover
+        log(f"bench_register failed: {type(e).__name__}: {e}")
 
     target = 5000.0
+    detail = {
+        "siddon_fast_drrs_per_sec": round(sid_fast, 1),
+        "siddon_fast_vs_baseline": round(sid_fast / target, 4),
+        "slab_trilinear_drrs_per_sec": round(tri, 1),
+        "siddon_exact_drrs_per_sec": round(sid, 1),
+        "target": target,
+        "volume": [N, N, N],
+        "detector": [H, H],
+        "n_samples": S,
+        "window": window,
+        "warp_window": ww,
+        "remap": bool(remap),
+    }
+    if train_stats is not None:
+        detail["train_step_ms"] = train_stats["value"]
+        detail["finetune_500_itrs_s"] = train_stats["finetune_500_itrs_s"]
+        detail["train_renderer"] = train_stats["renderer"]
+    if reg_stats is not None:
+        detail["register_cold_s"] = reg_stats["cold_runtime_s"]
+        detail["register_warm_s"] = reg_stats["warm_runtime_s"]
+        detail["register_mtre_final_mm"] = reg_stats["mtre_final_mm"]
+        detail["register_mtre_init_mm"] = reg_stats["mtre_init_mm"]
+        detail["register_stage_compiles_cold"] = reg_stats["stage_compiles_cold"]
+        detail["register_stage_compiles_total"] = reg_stats["stage_compiles_total"]
     print(
         json.dumps(
             {
@@ -198,17 +264,7 @@ def main():
                 "value": round(sw, 1),
                 "unit": "DRRs/s",
                 "vs_baseline": round(sw / target, 4),
-                "detail": {
-                    "slab_trilinear_drrs_per_sec": round(tri, 1),
-                    "siddon_drrs_per_sec": round(sid, 1),
-                    "target": target,
-                    "volume": [N, N, N],
-                    "detector": [H, H],
-                    "n_samples": S,
-                    "window": window,
-                    "warp_window": ww,
-                    "remap": bool(remap),
-                },
+                "detail": detail,
             }
         )
     )

@@ -27,7 +27,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run() -> dict:
+    """Cold + warm registration at the reference budget; returns the
+    JSON-ready dict (importable so bench.py can fold these numbers into the
+    driver-recorded line)."""
     import jax
     import jax.numpy as jnp
 
@@ -122,10 +125,12 @@ def main():
         patience=10, max_n_plateaus=3, verbose=1,
     )
     results = {}
+    compiles = {}
     for tag in ("cold", "warm"):
         t0 = time.perf_counter()
         out = reg.run(d / "xray.dcm")
         results[tag] = (time.perf_counter() - t0, out)
+        compiles[tag] = reg.stage_compiles
     (cold_s, _), (warm_s, out) = results["cold"], results["warm"]
     gt, intrinsics, _, init_pose, final_pose, kwargs = out
     iters = len(kwargs["trajectory"]["ncc"])
@@ -140,7 +145,7 @@ def main():
 
     _, _, dg_init = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, init_pose, SDD))
     rg, tg, dg_fin = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, final_pose, SDD))
-    print(json.dumps({
+    return {
         "metric": "xvr register (scales 24,12,6 x 500, 1436^2 X-ray, 256^3 CT)",
         "cold_runtime_s": round(cold_s, 1),
         "warm_runtime_s": round(warm_s, 1),
@@ -152,7 +157,15 @@ def main():
         "dgeo_final_mm": round(dg_fin, 2),
         "rot_final_deg": round(np.rad2deg(rg / SDD), 3),
         "trans_final_mm": round(tg, 2),
-    }))
+        # cache telemetry (one executable per pyramid stage; the warm run
+        # must reuse all of them — cache keys quantize measured windows)
+        "stage_compiles_cold": compiles["cold"],
+        "stage_compiles_total": compiles["warm"],
+    }
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

@@ -25,7 +25,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def run(n_windows: int = 3, n_steps: int = 12) -> dict:
+    """Measure steady-state train-step time at the finetune operating point.
+
+    Returns the JSON-ready dict; importable so the top-level bench.py can fold
+    these numbers into the driver-recorded benchmark line.
+    """
     import jax
 
     from xvr_tpu.io import save_nifti
@@ -62,7 +67,7 @@ def main():
         sdd=1020.0, height=128, delx=2.1764,
         model_name="resnet34",
         batch_size=116,
-        n_total_itrs=40,
+        n_total_itrs=10 + n_windows * n_steps,
         n_warmup_itrs=10,
         n_grad_accum_itrs=4,
         n_save_every_itrs=10_000,
@@ -83,9 +88,8 @@ def main():
     _j.block_until_ready(trainer.params)
 
     best = np.inf
-    for w in range(3):
+    for w in range(n_windows):
         t0 = time.perf_counter()
-        n_steps = 12
         for i in range(n_steps):
             m = trainer.step(8 + w * n_steps + i)
         _j.block_until_ready(trainer.params)
@@ -93,19 +97,18 @@ def main():
         log(f"window {w}: {dt * 1e3:.0f} ms/step")
         best = min(best, dt)
 
-    finetune_s = best * 500
-    print(
-        json.dumps(
-            {
-                "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
-                "value": round(best * 1e3, 1),
-                "unit": "ms/step",
-                "finetune_500_itrs_s": round(finetune_s, 1),
-                "drrs_per_sec_equiv": round(2 * 116 / best, 1),
-                "renderer": trainer.projectors[0][0].renderer,
-            }
-        )
-    )
+    return {
+        "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
+        "value": round(best * 1e3, 1),
+        "unit": "ms/step",
+        "finetune_500_itrs_s": round(best * 500, 1),
+        "drrs_per_sec_equiv": round(2 * 116 / best, 1),
+        "renderer": trainer.projectors[0][0].renderer,
+    }
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,8 @@ def convert_deepfluoro(h5path: Path, outroot: Path):
         )
 
         for idx, sid in enumerate(DEEPFLUORO_SUBJECTS, start=1):
+            if sid not in f:  # partial files (e.g. test fixtures) are fine
+                continue
             sub = f[sid]
             subject_dir = outroot / "deepfluoro" / f"subject{idx:02d}"
             xdir = subject_dir / "xrays"

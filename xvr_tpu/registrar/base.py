@@ -158,6 +158,13 @@ class RegistrarBase:
         self._stage_cache: dict = {}
         self._stage_compiles = 0  # executables built vs reused (perf telemetry)
 
+    @property
+    def stage_compiles(self) -> int:
+        """Pyramid-stage executables compiled so far (cache misses). A sweep
+        over many X-rays at the same intrinsics should compile each stage
+        once; this counter is the bench's evidence."""
+        return self._stage_compiles
+
     # ------------------------------------------------------------------
     def initialize_pose(self, i2d):
         """-> (gt, sdd, delx, dely, x0, y0, pf_to_af, init_pose)."""
