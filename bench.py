@@ -161,7 +161,8 @@ def main():
         raymarch_trilinear_shearwarp,
     )
 
-    B_SW = 128  # MXU utilization peaks near this pose batch (measured sweep)
+    B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
+    # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
     prepared = prepare_shearwarp(density, perm)
     jax.block_until_ready(prepared)
     ww = measured_warp_window(
@@ -208,6 +209,37 @@ def main():
         n_windows=4, n_iter=15,
     )
 
+    # --- labelmap (channel) rendering: masked foundation-training config.
+    # Two bone labels -> 3 output channels; per-channel masked volumes fold
+    # into the MXU accumulate (VERDICT r1 #4: no slab fallback for masks).
+    mask = np.zeros((N, N, N), dtype=np.int32)
+    mask[N // 4 : N // 2, N // 4 : 3 * N // 4, N // 4 : 3 * N // 4] = 1
+    mask[N // 2 : 3 * N // 4, N // 4 : 3 * N // 4, N // 4 : 3 * N // 4] = 2
+    labels = (1, 2)
+    prepared_ch = prepare_shearwarp(
+        density, perm, mask=jnp.asarray(mask), labels=labels
+    )
+    jax.block_until_ready(prepared_ch)
+
+    @jax.jit
+    def render_channels(prepared_ch, key):
+        pose = get_random_pose(key, batch_size=B_SW, **ranges)
+        src, tgt = det.rays(pose)
+        return raymarch_trilinear_shearwarp(
+            density, affinv, src, tgt, perm=perm, prepared=prepared_ch,
+            warp_window=ww, unroll=64, mask=jnp.asarray(mask), labels=labels,
+        )
+
+    t0 = time.perf_counter()
+    out0 = render_channels(prepared_ch, jax.random.PRNGKey(0))
+    out0.block_until_ready()
+    assert out0.shape[1] == len(labels) + 1, out0.shape
+    log(f"channels 256^2 (2 labels): compile+first run {time.perf_counter() - t0:.1f}s")
+    ch = timed_windows(
+        lambda k: render_channels(prepared_ch, k), B_SW, "channels 256^2",
+        n_windows=3, n_iter=12,
+    )
+
     tri = bench(render_trilinear, "slab trilinear 256^2")
     sid = bench(render_siddon, "siddon exact 256^2")
 
@@ -236,6 +268,7 @@ def main():
     detail = {
         "siddon_fast_drrs_per_sec": round(sid_fast, 1),
         "siddon_fast_vs_baseline": round(sid_fast / target, 4),
+        "labelmap_channels_drrs_per_sec": round(ch, 1),
         "slab_trilinear_drrs_per_sec": round(tri, 1),
         "siddon_exact_drrs_per_sec": round(sid, 1),
         "target": target,

@@ -54,6 +54,7 @@ def test_cli_version_and_help():
         assert sub in r.output
 
 
+@pytest.mark.slow
 def test_cli_train_then_restart(workdir):
     out = workdir / "models"
     args = [
@@ -73,6 +74,7 @@ def test_cli_train_then_restart(workdir):
     assert r.exit_code == 0, r.output
 
 
+@pytest.mark.slow
 def test_cli_register_fixed_and_animate(workdir):
     res = workdir / "results"
     r = _invoke([

@@ -120,6 +120,7 @@ def test_channel_rendering_matches_xla():
         assert err < 0.05, (c, err)
 
 
+@pytest.mark.slow
 def test_channel_rendering_gradients():
     vol = make_test_volume(16, spacing=2.0, kind="gradient")
     mask = jnp.asarray((np.asarray(vol.data) > 0.3).astype(np.int32))
@@ -255,6 +256,7 @@ def test_projector_auto_window_and_steepness_fallback():
     assert kept.renderer == "trilinear"
 
 
+@pytest.mark.slow
 def test_remap_is_exact_permutation():
     # sorted-ray layout + unsort must reproduce the detector layout EXACTLY
     # (same kernel math per ray, different grouping)
@@ -320,6 +322,7 @@ def test_remap_measured_window_stays_unclipped():
     np.testing.assert_array_equal(tight, full)
 
 
+@pytest.mark.slow
 def test_remap_gradients_match_finite_differences():
     vol = make_test_volume(16, spacing=2.0, kind="gradient")
     det = Detector(sdd=400.0, height=8, width=8, delx=4.0, dely=4.0)
@@ -353,6 +356,7 @@ def test_packed_table_bytes():
     assert packed_table_bytes((512, 512, 512)) > 100 * 1024 * 1024
 
 
+@pytest.mark.slow
 def test_streaming_matches_resident():
     # the HBM-streaming kernel (slab chunks as outermost grid dim) must
     # reproduce the VMEM-resident kernel exactly, including with the remap.
@@ -388,6 +392,7 @@ def test_streaming_matches_resident():
     np.testing.assert_allclose(streamed, base, rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_gradients_match_finite_differences():
     vol = make_test_volume(16, spacing=2.0, kind="gradient")
     det = Detector(sdd=400.0, height=8, width=8, delx=4.0, dely=4.0)
@@ -443,6 +448,7 @@ def test_siddon_pallas_single_ray_exact():
     assert abs(pal - ref) / ref < 0.005, (pal, ref)
 
 
+@pytest.mark.slow
 def test_lane_extent_beyond_256():
     """Lane-axis gathers must reach past 2x128 lanes (512-wide CTs).
 

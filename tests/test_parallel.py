@@ -65,6 +65,7 @@ def test_make_mesh_shapes():
         make_mesh(6, rays=4)
 
 
+@pytest.mark.slow
 def test_sharded_step_finite_8dev(tmp_path):
     vol = _write_phantom(tmp_path)
     mesh = make_mesh(8)
@@ -75,6 +76,7 @@ def test_sharded_step_finite_8dev(tmp_path):
     assert 0.0 <= metrics["kept"] <= 1.0
 
 
+@pytest.mark.slow
 def test_dp_sharded_loss_matches_single_device(tmp_path):
     """Same seed => identical pose/contrast/augment draws, so the dp-sharded
     loss must equal the mesh-free loss up to reduction reordering."""
@@ -129,6 +131,7 @@ def test_shard_rays_render_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_step_uses_fast_renderer(tmp_path):
     """Under a mesh the shear-warp MXU renderer still upgrades (no slab
     fallback): the sharded step renders through shard_map and matches the

@@ -73,6 +73,7 @@ def test_registration_module(phantom):
     assert np.asarray(reg.pose.matrix).shape == (1, 4, 4)
 
 
+@pytest.mark.slow
 def test_registrar_converges(phantom, gt_xray):
     xray_path, gt_pose = gt_xray
     rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
@@ -129,6 +130,7 @@ def test_registrar_init_only(phantom, gt_xray):
     assert intrinsics["x0"] == 0.0
 
 
+@pytest.mark.slow
 def test_registrar_call_saves_bundle(phantom, gt_xray, tmp_path):
     xray_path, gt_pose = gt_xray
     rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
@@ -201,6 +203,7 @@ def test_registrar_dicom_positioner_geometry(phantom):
     assert (init_img > 0).mean() > 0.05
 
 
+@pytest.mark.slow
 def test_registrar_model_init(phantom, gt_xray, tmp_path):
     """`register model`: load a trained checkpoint, resample the X-ray to the
     model's intrinsics, predict an init pose (model.py:85-107 pipeline)."""

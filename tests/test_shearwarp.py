@@ -83,6 +83,7 @@ def test_prepared_volume_hoisting(scene):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fast_path_gradient_matches_xla(scene):
     density, affinv, det, src, tgt, perm, ref = scene
     ww = measured_warp_window(
@@ -124,6 +125,7 @@ def test_point_source_required(scene):
         )
 
 
+@pytest.mark.slow
 def test_projector_with_shearwarp():
     from xvr_tpu.render import Projector, make_test_volume
 
@@ -251,6 +253,7 @@ def _masked_volume_golden(density, mask, labels, affinv, src, tgt, n_samples=512
     return np.stack([np.asarray(c) for c in chans], axis=1)
 
 
+@pytest.mark.slow
 def test_channel_rendering_matches_golden():
     """Per-channel masked-volume rendering: channels must sum exactly to the
     unmasked render and match the XLA masked-volume golden; against the
@@ -288,6 +291,7 @@ def test_channel_rendering_matches_golden():
         assert cc > 0.95, (c, cc)
 
 
+@pytest.mark.slow
 def test_channel_fast_path_differentiable():
     """Gradients flow through the channel fast path and match the XLA channel
     renderer's gradients in direction."""
@@ -382,6 +386,7 @@ def test_shearwarp_steep_pose_accuracy():
         assert err < 0.06, (i, err)
 
 
+@pytest.mark.slow
 def test_noncubic_anisotropic_volume():
     """Real CTs are non-cubic with anisotropic spacing (DeepFluoro: 512x512xZ
     at ~0.8x0.8x thicker slices). The shear-warp factorization must handle

@@ -141,6 +141,7 @@ def make_trainer(tiny_dataset, outdir, **kw):
     return Trainer(**defaults)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tiny_dataset, tmp_path):
     tr = make_trainer(tiny_dataset, tmp_path / "out")
     m0 = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
@@ -156,6 +157,7 @@ def test_trainer_end_to_end(tiny_dataset, tmp_path):
     assert "model_state_dict" in ck
 
 
+@pytest.mark.slow
 def test_trainer_params_change(tiny_dataset, tmp_path):
     tr = make_trainer(tiny_dataset, tmp_path / "out2", n_total_itrs=4, n_grad_accum_itrs=1)
     before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.params)
@@ -169,6 +171,7 @@ def test_trainer_params_change(tiny_dataset, tmp_path):
     assert max(jax.tree.leaves(diffs)) > 0
 
 
+@pytest.mark.slow
 def test_trainer_restart_roundtrip(tiny_dataset, tmp_path):
     out = tmp_path / "out3"
     tr = make_trainer(tiny_dataset, out, n_total_itrs=2, n_save_every_itrs=1)
@@ -183,6 +186,7 @@ def test_trainer_restart_roundtrip(tiny_dataset, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_with_mask(tiny_dataset, tmp_path):
     tr = make_trainer(
         tiny_dataset, tmp_path / "out4",
@@ -205,6 +209,7 @@ def test_pad_volumes():
     assert float(out[0].data[5].max()) == -1000.0
 
 
+@pytest.mark.slow
 def test_trainer_multi_ct_and_patches(tiny_dataset, tmp_path):
     """Multi-subject pretraining (BASELINE config 5): volumes in a directory,
     weighted sampling, optional random patch crops."""
@@ -234,6 +239,7 @@ def test_trainer_multi_ct_and_patches(tiny_dataset, tmp_path):
     assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
 
 
+@pytest.mark.slow
 def test_trainer_wide_sweep_strata(tiny_dataset, tmp_path):
     """Wide alpha sweeps (femur r1 in [75, 270]) stratify the batch: each
     stratum gets its own march-axis permutation and a width-proportional
@@ -262,6 +268,7 @@ def test_trainer_wide_sweep_strata(tiny_dataset, tmp_path):
     assert m["kept"] > 0.0, "wide-sweep samples must view the volume"
 
 
+@pytest.mark.slow
 def test_trainer_masked_fast_path(tiny_dataset, tmp_path):
     """Foundation-style masked training upgrades to the shear-warp channel
     renderer (no slab fallback) and trains a finite step."""
@@ -279,6 +286,7 @@ def test_trainer_masked_fast_path(tiny_dataset, tmp_path):
     assert np.isfinite(m["loss"]) and np.isfinite(m["dice"])
 
 
+@pytest.mark.slow
 def test_trainer_siddon_fast_path(tiny_dataset, tmp_path):
     """--renderer siddon upgrades to the siddon-flavored shear-warp profile."""
     tr = make_trainer(

@@ -47,7 +47,10 @@ def dicom_series_to_nifti(inpath: str | Path, outpath: str | Path) -> Path:
             return 0.0
         return float(np.dot(np.asarray(ipp, dtype=float), normal))
 
+    # sort by position along the normal; the affine origin must come from the
+    # sorted-first slice, not whichever file happened to be read first
     slices.sort(key=lambda fs: position(fs[1]))
+    first = slices[0][1]
 
     imgs, zs = [], []
     for _, ds in slices:
