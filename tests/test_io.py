@@ -66,6 +66,12 @@ def test_read_with_mask_and_labels(tmp_path):
     v = read(tmp_path / "vol.nii.gz", tmp_path / "mask.nii.gz", labels="1,7")
     labs = set(np.unique(np.asarray(v.mask)))
     assert labs == {0, 1, 7}  # label 2 dropped
+    # --labels means "exclusively render these structures": everything
+    # outside the kept labels becomes air (renders as zero density)
+    d = np.asarray(v.data)
+    m = np.asarray(v.mask)
+    assert np.all(d[m == 0] == -1000.0)
+    assert np.allclose(d[m > 0], data[np.isin(mask.astype(int), [1, 7])])
 
 
 def test_read_mask_shape_mismatch(tmp_path):

@@ -176,3 +176,37 @@ def test_replicated_and_shard_batch_specs():
     # batch axis actually split over dp
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert (2, 2) in shard_shapes
+
+
+@pytest.mark.slow
+def test_mesh_masked_channel_step(tmp_path):
+    """Masked (foundation-style) training under a mesh: the channel fast
+    renderer runs inside shard_map with static per-label slab bounds and the
+    sharded loss matches the mesh-free run for the same PRNG key."""
+    volpath = _write_phantom(tmp_path)
+    n = 24
+    hu = np.asarray(jax.device_get(__import__("xvr_tpu").io.volumes.read(volpath).data))
+    mask = (hu > 300.0).astype(np.float32)
+    maskpath = tmp_path / "mask.nii.gz"
+    aff = np.eye(4) * 4.0
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(n - 1) / 2 * 4.0
+    save_nifti(maskpath, mask, aff)
+
+    tr_ref = _trainer(volpath, tmp_path / "ref", mesh=None, maskpath=maskpath, seed=5)
+    assert tr_ref.labels == (1,)
+    assert tr_ref._try_shearwarp_strata([165.0, 195.0])
+    assert tr_ref.projectors[0][0].shearwarp_bounds is not None
+    tr_ref._step = tr_ref._build_step()
+    m_ref = {k: float(v) for k, v in jax.device_get(tr_ref.step(0)).items()}
+
+    mesh = make_mesh(2)
+    tr = _trainer(volpath, tmp_path / "mesh", mesh=mesh, maskpath=maskpath, seed=5)
+    assert tr._try_shearwarp_strata([165.0, 195.0])
+    assert all(p.renderer == "trilinear_fast" for p in tr.projectors[0])
+    tr._step = tr._build_step()
+    with mesh:
+        m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+
+    assert np.isfinite(m["loss"]) and np.isfinite(m["dice"])
+    np.testing.assert_allclose(m["loss"], m_ref["loss"], rtol=2e-3)

@@ -35,6 +35,9 @@ REPO = Path(__file__).resolve().parents[1]
 SDD, DET, DELX = 500.0, 128, 1.5
 N, SP = 64, 1.75  # volume: 64^3 @ 1.75 mm (112 mm extent)
 TY = 300.0  # source-to-isocenter distance (magnification 1.67)
+# nonzero detector origin: exercises the pinhole-K -> DetectorActiveOrigin ->
+# read_xray -> set_intrinsics(x0=-x0) sign-flip chain end to end
+X0, Y0 = 6.0, -4.5  # col origin, row origin (mm)
 
 
 def _load_script(name):
@@ -99,9 +102,12 @@ def test_convert_register_evaluate_loop(tmp_path):
         jnp.asarray(gt_rot)[None], jnp.asarray(gt_xyz)[None],
         "euler_angles", "ZXY",
     )
+    # intrinsics exactly as the registrar will reconstruct them from the
+    # converted DICOM: read_xray yields (x0=col_origin, y0=row_origin) and
+    # the registrar applies the reference's x0 sign flip (base.py:147)
     proj = initialize_drr(
         my_nii, None, None, "AP", height=DET, width=DET, sdd=SDD,
-        delx=DELX, dely=DELX, x0=0.0, y0=0.0, reverse_x_axis=False,
+        delx=DELX, dely=DELX, x0=-X0, y0=Y0, reverse_x_axis=False,
         renderer="trilinear",
     )
     img = np.asarray(proj(gt_pose))[0, 0]
@@ -120,8 +126,14 @@ def test_convert_register_evaluate_loop(tmp_path):
     h5file = tmp_path / "mini_deepfluoro.h5"
     with h5py.File(h5file, "w") as f:
         pp = f.create_group("proj-params")
+        # pinhole K encoding sdd, spacing, and the off-center principal point
+        # (converter: col_origin = (K[0,2] - cols/2) * spacing, row likewise)
         K = np.array(
-            [[-SDD / DELX, 0.0, DET / 2], [0.0, -SDD / DELX, DET / 2], [0.0, 0.0, 1.0]]
+            [
+                [-SDD / DELX, 0.0, DET / 2 + X0 / DELX],
+                [0.0, -SDD / DELX, DET / 2 + Y0 / DELX],
+                [0.0, 0.0, 1.0],
+            ]
         )
         pp["intrinsic"] = K
         pp["num-cols"] = DET
@@ -170,6 +182,10 @@ def test_convert_register_evaluate_loop(tmp_path):
     recon = mapper @ np.asarray(npz["pose"])[0]
     assert np.allclose(recon, np.asarray(gt_pose.matrix)[0], atol=1e-5)
     assert float(npz["intrinsics_sdd"]) == pytest.approx(SDD, abs=1e-3)
+    # gt intrinsics keep the reference converter's ordering (x0=row origin,
+    # y0=col origin — /root/reference/utils/dcmwrite.py:170-171)
+    assert float(npz["intrinsics_x0"]) == pytest.approx(Y0, abs=1e-4)
+    assert float(npz["intrinsics_y0"]) == pytest.approx(X0, abs=1e-4)
 
     # ---- 2. register (the xvr CLI, fixed init perturbed off truth) ----
     from xvr_tpu.cli.cli import cli as xvr_cli

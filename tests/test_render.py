@@ -208,6 +208,42 @@ def test_load_example_ct_and_initialize_drr(tmp_path):
     assert proj2.detector.height == 16
 
 
+def test_initialize_drr_labels_exclusively_render(tmp_path):
+    """--labels semantics (reference register.py:72): the DRR built with
+    labels renders ONLY those structures — identical to rendering a volume
+    where everything else was replaced by air — and still yields ONE image
+    (no channel split in the registration path)."""
+    from xvr_tpu.io import save_nifti
+    from xvr_tpu.render import initialize_drr
+
+    vol = make_test_volume(24, spacing=4.0, kind="sphere")
+    hu = np.asarray(vol.data)
+    mask = np.zeros_like(hu, dtype=np.float32)
+    mask[hu > 300.0] = 1.0  # bone core
+    mask[(hu > -500.0) & (hu <= 300.0)] = 2.0  # soft shell
+    save_nifti(tmp_path / "ct.nii.gz", hu, np.asarray(vol.affine))
+    save_nifti(tmp_path / "mask.nii.gz", mask, np.asarray(vol.affine))
+
+    kw = dict(
+        orientation="AP", height=24, width=24, sdd=400.0, delx=6.0, dely=6.0,
+        x0=0.0, y0=0.0, reverse_x_axis=False, renderer="trilinear",
+    )
+    proj_all = initialize_drr(tmp_path / "ct.nii.gz", tmp_path / "mask.nii.gz", None, **kw)
+    proj_bone = initialize_drr(tmp_path / "ct.nii.gz", tmp_path / "mask.nii.gz", "1", **kw)
+
+    hu_boneonly = np.where(mask == 1.0, hu, -1000.0).astype(np.float32)
+    save_nifti(tmp_path / "bone.nii.gz", hu_boneonly, np.asarray(vol.affine))
+    proj_ref = initialize_drr(tmp_path / "bone.nii.gz", None, None, **kw)
+
+    pose = view_pose(300.0)
+    img_all = np.asarray(proj_all(pose))
+    img_bone = np.asarray(proj_bone(pose))
+    img_ref = np.asarray(proj_ref(pose))
+    assert img_bone.shape == img_all.shape == (1, 1, 24, 24)  # single image
+    np.testing.assert_allclose(img_bone, img_ref, rtol=1e-5, atol=1e-5)
+    assert np.abs(img_bone - img_all).max() > 1e-3  # labels actually restrict
+
+
 def test_ray_chunked_trilinear_matches_full():
     """ray_chunk processes rays in lax.map pieces (bounded memory at full
     detector resolution) with identical results, channels included."""

@@ -416,3 +416,64 @@ def test_noncubic_anisotropic_volume():
     for i in range(2):
         err = np.abs(out[i] - ref[i]).max() / np.abs(ref[i]).max()
         assert err < 0.05, (i, err)
+
+
+def test_channel_slab_bounds_exact():
+    """Static per-label slab bounds: bounded channel renders must equal the
+    dense (all-slab) renders exactly — slabs outside a label's bounding box
+    contribute nothing — and the bounds must cover every label voxel."""
+    from xvr_tpu.render.shearwarp import channel_slab_bounds
+
+    density, mask, affinv, src, tgt, perm, ww = _label_scene()
+    labels = (1, 2)
+    bounds = channel_slab_bounds(mask, labels, perm, quantum=8)
+    m = np.transpose(np.asarray(mask), perm)
+    M = m.shape[0]
+    assert bounds[0] == (0, M)
+    for (k0, k1), l in zip(bounds[1:], labels):
+        hit = np.flatnonzero(np.any(m == l, axis=(1, 2)))
+        assert k0 <= hit[0] and hit[-1] < k1
+    # at least one compact label actually restricts the march in this scene
+    assert any(k1 - k0 < M for k0, k1 in bounds[1:])
+
+    dense = np.asarray(
+        raymarch_trilinear_shearwarp(
+            density, affinv, src, tgt, mask=mask, labels=labels,
+            perm=perm, warp_window=ww,
+        )
+    )
+    bounded = np.asarray(
+        raymarch_trilinear_shearwarp(
+            density, affinv, src, tgt, mask=mask, labels=labels,
+            perm=perm, warp_window=ww, chan_bounds=bounds,
+        )
+    )
+    np.testing.assert_allclose(bounded, dense, rtol=1e-6, atol=1e-6)
+
+
+def test_with_shearwarp_sets_channel_bounds():
+    """Projector.with_shearwarp measures static label bounds from the mask."""
+    from xvr_tpu.render import Projector
+    from xvr_tpu.render.volume import Volume
+
+    density, mask, affinv, src, tgt, perm, ww = _label_scene()
+    aff = jnp.asarray(np.linalg.inv(np.asarray(affinv)))
+    vol = Volume(
+        data=density * 1000.0, affine=aff, mask=jnp.asarray(mask), orientation="AP"
+    )
+    proj = Projector.from_volume(
+        vol, sdd=800.0, height=32, delx=3.0, labels=(1, 2)
+    )
+    pose = convert(
+        jnp.asarray([[180.0, 0.0, 0.0]]), jnp.asarray([[0.0, 450.0, 0.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    up = proj.with_shearwarp(pose, probe_poses=pose)
+    if not up.renderer.endswith("_fast"):
+        pytest.skip("steepness gate kept the XLA renderer for this geometry")
+    assert up.shearwarp_bounds is not None
+    assert len(up.shearwarp_bounds) == 3
+    M = np.transpose(np.asarray(mask), up.pallas_perm).shape[0]
+    assert up.shearwarp_bounds[0] == (0, M)
+    for k0, k1 in up.shearwarp_bounds[1:]:
+        assert 0 <= k0 < k1 <= M

@@ -47,6 +47,11 @@ def read(
             labels = parse_labels(labels)
             keep = np.isin(mdata, labels)
             mdata = np.where(keep, mdata, 0)
+            # "Labels in mask to exclusively render" (reference
+            # cli/commands/register.py:72): structures outside the requested
+            # labels become air, so they contribute nothing to the DRR after
+            # the HU->density transfer (air maps to zero density).
+            data = np.where(keep, data, -1000.0).astype(np.float32)
         mask = jnp.asarray(mdata)
 
     return Volume(

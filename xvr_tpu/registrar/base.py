@@ -145,7 +145,10 @@ class RegistrarBase:
         self.projector = initialize_drr(
             volume,
             mask,
-            labels=None,  # registration renders the plain DRR
+            # --labels restricts the RENDERED structures (density outside
+            # becomes air at read level, reference register.py:72 semantics);
+            # the optimization still renders one plain image per pose.
+            labels=self.labels,
             orientation=orientation,
             x0=0.0,
             y0=0.0,

@@ -32,6 +32,10 @@ def initialize_drr(
 
     vol = read(volume, mask, labels=labels, orientation=orientation, **(read_kwargs or {}))
     drr_kwargs = dict(drr_kwargs or {})
+    # labels act at READ level ("exclusively render these structures": the
+    # density outside them becomes air) — the projector itself renders a
+    # single image, like the reference's DRR module; channel rendering is
+    # requested separately via Projector(labels=...) in the trainer.
     return Projector.from_volume(
         vol,
         sdd=sdd,
@@ -43,6 +47,6 @@ def initialize_drr(
         y0=y0,
         reverse_x_axis=reverse_x_axis,
         renderer=renderer,
-        labels=labels,
+        labels=None,
         voxel_shift=drr_kwargs.get("voxel_shift", 0.0),
     )

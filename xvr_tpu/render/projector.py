@@ -64,7 +64,7 @@ def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTr
     meta_fields=[
         "detector", "renderer", "labels", "n_samples", "voxel_shift",
         "pallas_perm", "pallas_window", "pallas_remap",
-        "shearwarp_window", "shearwarp_grid",
+        "shearwarp_window", "shearwarp_grid", "shearwarp_bounds",
     ],
 )
 @dataclass(frozen=True)
@@ -90,6 +90,9 @@ class Projector:
     # Set via with_shearwarp().
     shearwarp_window: int = 48
     shearwarp_grid: tuple[int, int] | None = None
+    # static per-channel march-slab bounds for labelmap channel renders
+    # (channel_slab_bounds); None = every channel marches all slabs.
+    shearwarp_bounds: tuple[tuple[int, int], ...] | None = None
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -268,11 +271,19 @@ class Projector:
         perm = choose_permutation_for_pose(
             R, np.asarray(jax.device_get(self.affine_inverse))
         )
+        chan_bounds = None
+        if self.labels is not None and self.volume.mask is not None:
+            from .shearwarp import channel_slab_bounds
+
+            # static per-label march bounds: compact labels skip the slabs
+            # outside their bounding box (exact — those contribute zero)
+            chan_bounds = channel_slab_bounds(self.volume.mask, self.labels, perm)
         proj = self.replace(
             renderer=f"{flavor}_fast" if differentiable else f"{flavor}_shearwarp",
             pallas_perm=perm,
             pallas_remap=False,
             shearwarp_grid=tuple(int(x) for x in grid_shape) if grid_shape else None,
+            shearwarp_bounds=chan_bounds,
         )
         probes = probe_poses if probe_poses is not None else reference_pose
         if probes is not None:
@@ -432,6 +443,7 @@ class Projector:
                 grid_shape=self.shearwarp_grid,
                 warp_window=self.shearwarp_window,
                 mask=mask, labels=labels, eps=eps,
+                chan_bounds=self.shearwarp_bounds if labels is not None else None,
             )
             if self.renderer.endswith("_fast"):
                 return raymarch_trilinear_fast(

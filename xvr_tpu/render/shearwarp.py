@@ -50,11 +50,15 @@ forward). :func:`raymarch_trilinear_shearwarp` alone is forward-only.
   the analytic adjoint is the exact gradient of the smoothed forward.
 
 **Labelmap channels.** ``mask``/``labels`` split the integral into
-``C = 1 + len(labels)`` channels by masking the density into per-channel
-volumes before the accumulate (channel 0 = structures outside the requested
-labels, matching the background channel of the XLA golden renderer). The
-channel images share one set of warp coordinates, so channels fold into the
-batch axis of the warp kernel; cost scales linearly in C, all on the MXU.
+``C = 1 + len(labels)`` channels (channel 0 = structures outside the
+requested labels, matching the background channel of the XLA golden
+renderer). Internally the stack renders [full density, per-label volumes]
+and emits the background by linear subtraction after the warp — so each
+compact label channel marches only its static bounding slab range
+(:func:`channel_slab_bounds`), cutting the accumulate cost from C dense
+passes to 1 + sum of label extents. The channel images share one set of
+warp coordinates, so channels fold into the batch axis of the warp kernel;
+everything stays on the MXU.
 Boundary semantics vs the golden model: the golden renderer assigns each
 sample's full trilinear value to its nearest label, while the masked-volume
 split interpolates each channel's own density — they differ only within one
@@ -90,9 +94,11 @@ def prepare_shearwarp(
 ) -> jnp.ndarray:
     """Permute a density grid to (march, window, lane) order and cast bf16.
 
-    With ``mask``/``labels``, returns per-channel masked volumes
-    (C, M, Wd, L) with C = 1 + len(labels); channel 0 is the density outside
-    every requested label (the background channel the Dice loss excludes).
+    With ``mask``/``labels``, returns per-channel volumes (C, M, Wd, L) with
+    C = 1 + len(labels): channel 0 is the FULL density, channels 1.. are the
+    per-label masked densities. The renderers emit the public [background,
+    labels...] channels by subtracting the label sum from the full render
+    (exact: the integral is linear and labels are disjoint).
 
     O(volume) work — hoist out of optimization loops and pass via the
     ``prepared`` argument of the render functions.
@@ -102,9 +108,36 @@ def prepare_shearwarp(
         return vol
     m = jnp.transpose(mask, perm)
     fg = jnp.stack([m == l for l in labels])  # (L, M, Wd, Ln)
-    bg = ~jnp.any(fg, axis=0, keepdims=True)
-    w = jnp.concatenate([bg, fg], axis=0)
-    return vol[None] * w.astype(jnp.bfloat16)
+    # channel 0 holds the FULL density (not the background): the renderers
+    # emit bg = full - sum(labels) by linear subtraction after the warp, so
+    # compact label channels can march only their bounding slabs
+    # (channel_slab_bounds) while the public [bg, fg...] contract holds.
+    return jnp.concatenate([vol[None], vol[None] * fg.astype(jnp.bfloat16)])
+
+
+def channel_slab_bounds(
+    mask, labels: tuple[int, ...], perm: tuple[int, int, int], quantum: int = 16
+) -> tuple[tuple[int, int], ...]:
+    """Static per-channel march-axis bounds for a channel render.
+
+    Host-side NumPy. Channel 0 (the full density) spans every slab; each
+    label channel gets the [k0, k1) bounding range of its voxels along the
+    permuted march axis, padded to ``quantum`` so near-identical masks reuse
+    compiled executables. Slabs outside a label's range contribute exactly
+    zero to its accumulate and are skipped.
+    """
+    m = np.transpose(np.asarray(jax.device_get(mask)), perm)
+    M = m.shape[0]
+    out = [(0, M)]
+    for l in labels:
+        hit = np.flatnonzero(np.any(m == l, axis=(1, 2)))
+        if hit.size == 0:
+            out.append((0, min(quantum, M)))
+            continue
+        k0 = int(hit[0]) // quantum * quantum
+        k1 = min(M, -(-(int(hit[-1]) + 1) // quantum) * quantum)
+        out.append((k0, k1))
+    return tuple(out)
 
 
 def _hat(x, eps: float):
@@ -127,8 +160,8 @@ def _grid_transform(lo, hi, n: int, eps: float = 1e-6):
     return lo - 2.0 * step, step
 
 
-@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps"))
-def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int = 8, eps: float = 1.0):
+@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps", "k0", "k1"))
+def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int = 8, eps: float = 1.0, k0: int = 0, k1: int | None = None):
     """Slope-space accumulation: I[b, i, j] = sum_k w_k (A_k S_k B_k^T)[i, j].
 
     ``vol`` (M, Wd, L) bf16 permuted density; ``s_p`` (B, 3) permuted source
@@ -139,8 +172,16 @@ def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int 
     C-arm geometry). Returns (B, Iu, Iv) f32. The k-loop is a scan over
     ``unroll``-slab chunks so the f32 accumulator round-trips HBM once per
     chunk instead of once per slab.
+
+    Static ``[k0, k1)`` bounds restrict the march to a slab sub-range — for
+    label channels whose support is a compact bounding box, the slabs outside
+    contribute exactly zero and are skipped (see :func:`channel_slab_bounds`).
     """
     M, Wd, L = vol.shape
+    if k1 is None:
+        k1 = M
+    vol = jax.lax.slice_in_dim(vol, k0, k1, axis=0)
+    M = k1 - k0
     B = s_p.shape[0]
     f32 = jnp.float32
     iu = jnp.arange(Iu, dtype=f32)
@@ -158,7 +199,7 @@ def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int 
     def body(acc, kc):
         chunk = jax.lax.dynamic_slice_in_dim(volp, kc * unroll, unroll, axis=0)
         for kk in range(unroll):
-            k = (kc * unroll + kk).astype(f32)
+            k = (k0 + kc * unroll + kk).astype(f32)
             c = k - s0  # (B,) per-slab scale
             w_pos = s1[:, None] + c[:, None] * u  # (B, Iu)
             l_pos = s2[:, None] + c[:, None] * v  # (B, Iv)
@@ -178,15 +219,24 @@ def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int 
     return acc
 
 
-def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0):
-    """:func:`_accumulate`, vmapped over a leading channel axis when ``vol``
-    is a (C, M, Wd, L) per-channel stack. Returns (B, Iu, Iv) or
-    (C, B, Iu, Iv)."""
+def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0, bounds=None):
+    """:func:`_accumulate` over a leading channel axis when ``vol`` is a
+    (C, M, Wd, L) per-channel stack. Returns (B, Iu, Iv) or (C, B, Iu, Iv).
+
+    Channels run as separate accumulates (not vmap): each channel takes its
+    own static slab ``bounds[c]`` so compact label channels skip the slabs
+    outside their bounding box entirely.
+    """
     kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
     if vol.ndim == 4:
-        return jax.vmap(
-            lambda vc: _accumulate(vc, s_p, sgn, u0, du, v0, dv, **kw)
-        )(vol)
+        C, M = vol.shape[0], vol.shape[1]
+        if bounds is None:
+            bounds = ((0, M),) * C
+        return jnp.stack([
+            _accumulate(vol[c], s_p, sgn, u0, du, v0, dv,
+                        k0=int(bounds[c][0]), k1=int(bounds[c][1]), **kw)
+            for c in range(C)
+        ])
     return _accumulate(vol, s_p, sgn, u0, du, v0, dv, **kw)
 
 
@@ -355,6 +405,7 @@ def _warp_folded(I, uc, vc, wscale, *, det_shape, grid_shape, window, interpret)
 def _shearwarp_from_fields(
     prepared, s_p, d_p, wscale,
     *, det_shape, grid_shape, warp_window, unroll, interpret, eps=1.0,
+    chan_bounds=None,
 ):
     """Render from permuted voxel-space ray fields (s_p/d_p: (B, R, 3))."""
     Iu, Iv = grid_shape
@@ -367,7 +418,8 @@ def _shearwarp_from_fields(
     s_scalar = s_p[:, 0, :]
     sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))  # march direction per image
     I = _accumulate_any(
-        prepared, s_scalar, sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll, eps=eps
+        prepared, s_scalar, sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
+        eps=eps, bounds=chan_bounds,
     )
     uc = (u - u0[:, None]) / du[:, None]
     vc = (v - v0[:, None]) / dv[:, None]
@@ -402,9 +454,11 @@ def raymarch_trilinear_shearwarp(
     mask: jnp.ndarray | None = None,
     labels: tuple[int, ...] | None = None,
     eps: float = 1.0,
+    chan_bounds: tuple[tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     """Forward-only shear-warp trilinear DRR: (B, R) line integrals in mm
-    ((B, C, R) with ``mask``/``labels``).
+    ((B, C, R) with ``mask``/``labels``; ``chan_bounds`` from
+    :func:`channel_slab_bounds` restricts label channels to their slabs).
 
     Same ray contract as :func:`xvr_tpu.render.pallas.raymarch_trilinear_pallas`
     (``source`` (B, 1, 3) — a point source is required — and ``target``
@@ -435,12 +489,15 @@ def raymarch_trilinear_shearwarp(
         grid_shape = default_grid_shape(det_shape)
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     warp_window = min(int(warp_window), int(grid_shape[0]))
-    return _shearwarp_from_fields(
+    out = _shearwarp_from_fields(
         prepared, s_p, d_p, wscale,
         det_shape=det_shape, grid_shape=tuple(int(x) for x in grid_shape),
         warp_window=warp_window, unroll=int(unroll), interpret=bool(interpret),
-        eps=float(eps),
+        eps=float(eps), chan_bounds=chan_bounds,
     )
+    if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]
+        out = out.at[:, 0].add(-jnp.sum(out[:, 1:], axis=1))
+    return out
 
 
 def raymarch_siddon_shearwarp(*args, eps: float = 0.25, **kwargs) -> jnp.ndarray:
@@ -538,8 +595,8 @@ def _warp_transpose(gw, uc, vc, *, grid_shape, det_shape, row_chunk: int = 8):
     return acc
 
 
-@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps"))
-def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8, eps=1.0):
+@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps", "k0", "k1"))
+def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8, eps=1.0, k0: int = 0, k1: int | None = None):
     """d<I_bar, accumulate(...)>/d s_p — the analytic adjoint of
     :func:`_accumulate` w.r.t. the (permuted) source position.
 
@@ -548,9 +605,14 @@ def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8
     forward-side weight w_k are treated as constants: the grid is a sampling
     choice, and w_k is 0/1 for every in-volume slab whenever the source lies
     outside the volume (C-arm geometry), so their subgradients vanish.
-    Returns g_s (B, 3).
+    Returns g_s (B, 3). Static ``[k0, k1)`` restricts the march to a slab
+    sub-range exactly like the forward's bounds.
     """
     M, Wd, L = vol.shape
+    if k1 is None:
+        k1 = M
+    vol = jax.lax.slice_in_dim(vol, k0, k1, axis=0)
+    M = k1 - k0
     B = s_p.shape[0]
     f32 = jnp.float32
     iu = jnp.arange(Iu, dtype=f32)
@@ -570,7 +632,7 @@ def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8
         g0, g1, g2 = carry
         chunk = jax.lax.dynamic_slice_in_dim(volp, kc * unroll, unroll, axis=0)
         for kk in range(unroll):
-            k = (kc * unroll + kk).astype(f32)
+            k = (k0 + kc * unroll + kk).astype(f32)
             c = k - s0
             wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)  # 0/1 for in-volume slabs
             w_pos = s1[:, None] + c[:, None] * u
@@ -627,23 +689,25 @@ def _slope_pieces(d_p, Iu, Iv):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fast(cfg, prepared, packed_table, affine_inverse, source, target):
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     return _shearwarp_from_fields(
         prepared, s_p, d_p, wscale,
         det_shape=det_shape, grid_shape=grid_shape,
         warp_window=warp_window, unroll=unroll, interpret=interpret, eps=eps,
+        chan_bounds=chan_bounds,
     )
 
 
 def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     Iu, Iv = grid_shape
     _, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
     sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
     I = _accumulate_any(
-        prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll, eps=eps
+        prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
+        eps=eps, bounds=chan_bounds,
     )
     out = _warp_folded(
         I, uc, vc, wscale,
@@ -666,7 +730,7 @@ def _fast_bwd(cfg, res, g):
     O(h^2)-consistent gradient of the same integral; useful as a
     cross-check; single-channel only).
     """
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
     prepared, packed_table, affine_inverse, source, target, I = res
     (s_p, d_p, wscale), light_vjp = jax.vjp(
         lambda src, tgt: _decompose(affine_inverse, src, tgt, perm), source, target
@@ -710,13 +774,14 @@ def _fast_bwd(cfg, res, g):
         g_ws = csum(gf * bil)
         g_uc = csum(gwf * dWdu)
         g_vc = csum(gwf * dWdv)
-        g_s_scalar = jnp.sum(
-            jax.vmap(
-                lambda vol_c, Ibar_c: _accumulate_adjoint(
-                    vol_c, s_p[:, 0, :], sgn, u0, du, v0, dv, Ibar_c, **adj_kw
-                )
-            )(prepared, Ibar.reshape(C, B, Iu, Iv)),
-            axis=0,
+        Ibar_c = Ibar.reshape(C, B, Iu, Iv)
+        cb = chan_bounds if chan_bounds is not None else ((0, prepared.shape[1]),) * C
+        g_s_scalar = sum(
+            _accumulate_adjoint(
+                prepared[c], s_p[:, 0, :], sgn, u0, du, v0, dv, Ibar_c[c],
+                k0=int(cb[c][0]), k1=int(cb[c][1]), **adj_kw
+            )
+            for c in range(C)
         )
     else:
         g_ws = gf * bil
@@ -755,6 +820,7 @@ def raymarch_trilinear_fast(
     mask: jnp.ndarray | None = None,
     labels: tuple[int, ...] | None = None,
     eps: float = 1.0,
+    chan_bounds: tuple[tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     """Differentiable fast trilinear render, MXU forward AND backward.
 
@@ -818,8 +884,12 @@ def raymarch_trilinear_fast(
         bool(stream),
         str(backward),
         float(eps),
+        tuple((int(a), int(b)) for a, b in chan_bounds) if chan_bounds is not None else None,
     )
-    return _fast(cfg, prepared, packed_table, affine_inverse, source, target)
+    out = _fast(cfg, prepared, packed_table, affine_inverse, source, target)
+    if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]
+        out = out.at[:, 0].add(-jnp.sum(out[:, 1:], axis=1))
+    return out
 
 
 def raymarch_siddon_fast(*args, eps: float = 0.25, **kwargs) -> jnp.ndarray:

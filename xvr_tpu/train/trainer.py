@@ -406,7 +406,20 @@ class Trainer:
             if not all(p.renderer.endswith("_fast") for p in upgraded) or len(perms) != 1:
                 return False
             warp_w = max(p.shearwarp_window for p in upgraded)
-            strata_projs.append([p.replace(shearwarp_window=warp_w) for p in upgraded])
+            # unify the per-label channel bounds across subjects (union):
+            # the step compiles once, so the static treedef must be shared
+            bounds = None
+            bset = {p.shearwarp_bounds for p in upgraded} - {None}
+            if bset:
+                C = len(next(iter(bset)))
+                bounds = tuple(
+                    (min(b[c][0] for b in bset), max(b[c][1] for b in bset))
+                    for c in range(C)
+                )
+            strata_projs.append([
+                p.replace(shearwarp_window=warp_w, shearwarp_bounds=bounds)
+                for p in upgraded
+            ])
             strata_ranges.append(sub)
 
         # batch shares proportional to widths (largest-remainder rounding) —
