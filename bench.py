@@ -246,6 +246,42 @@ def main():
         n_windows=3, n_iter=12,
     )
 
+    # --- full DeepFluoro-scale volume: 512^3 (537 MB packed table in HBM)
+    N2 = 512
+    hu512 = rng.uniform(-1000.0, 1500.0, size=(N2, N2, N2)).astype(np.float32)
+    sp512 = 0.75
+    aff512 = np.eye(4, dtype=np.float32) * sp512
+    aff512[3, 3] = 1.0
+    aff512[:3, 3] = -(N2 - 1) / 2.0 * sp512
+    vol512 = Volume(data=jnp.asarray(hu512), affine=jnp.asarray(aff512))
+    density512 = transform_hu_to_density(vol512.data, 2.0)
+    affinv512 = vol512.affine_inverse
+    prepared512 = prepare_shearwarp(density512, perm)
+    jax.block_until_ready(prepared512)
+    ww512 = measured_warp_window(
+        np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv512), perm, (H, H)
+    )
+    ww512 = int(-(-ww512 // 8) * 8)
+    B512 = 64
+
+    @jax.jit
+    def render_512(prepared512, key):
+        pose = get_random_pose(key, batch_size=B512, **ranges)
+        src, tgt = det.rays(pose)
+        return raymarch_trilinear_shearwarp(
+            density512, affinv512, src, tgt, perm=perm, prepared=prepared512,
+            warp_window=ww512, unroll=64,
+        )
+
+    t0 = time.perf_counter()
+    render_512(prepared512, jax.random.PRNGKey(0)).block_until_ready()
+    log(f"shearwarp 512^3: compile+first run {time.perf_counter() - t0:.1f}s")
+    sw512 = timed_windows(
+        lambda k: render_512(prepared512, k), B512, "shearwarp 512^3",
+        n_windows=3, n_iter=8,
+    )
+    del prepared512, density512, vol512, hu512
+
     tri = bench(render_trilinear, "slab trilinear 256^2")
     sid = bench(render_siddon, "siddon exact 256^2")
 
@@ -281,6 +317,7 @@ def main():
         "siddon_fast_drrs_per_sec": round(sid_fast, 1),
         "siddon_fast_vs_baseline": round(sid_fast / target, 4),
         "labelmap_channels_drrs_per_sec": round(ch, 1),
+        "shearwarp_512cube_drrs_per_sec": round(sw512, 1),
         "slab_trilinear_drrs_per_sec": round(tri, 1),
         "siddon_exact_drrs_per_sec": round(sid, 1),
         "target": target,
