@@ -477,3 +477,57 @@ def test_with_shearwarp_sets_channel_bounds():
     assert up.shearwarp_bounds[0] == (0, M)
     for k0, k1 in up.shearwarp_bounds[1:]:
         assert 0 <= k0 < k1 <= M
+
+
+def test_warp_remap_matches_plain_layout():
+    """The barrel-sheared warp layout is a pure re-tiling: forward renders
+    and fast-path gradients must match the plain layout to fp precision, with
+    each layout sized by its own measured window (strong in-plane roll is
+    where the layouts differ most)."""
+    n = 32
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    density = jnp.asarray(
+        np.exp(-(X**2 + 0.7 * Y**2 + 1.3 * Z**2) * 4.0).astype(np.float32) * 0.8
+    )
+    sp = 3.0
+    aff = np.eye(4, dtype=np.float32) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(n - 1) / 2.0 * sp
+    affinv = jnp.asarray(np.linalg.inv(aff))
+    det = Detector(sdd=700.0, height=48, width=48, delx=2.5, dely=2.5)
+    pose = convert(
+        jnp.asarray([[181.0, -2.0, 14.0], [179.0, 3.0, -12.0]]),
+        jnp.asarray([[3.0, 420.0, -4.0], [-2.0, 450.0, 3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    src, tgt = det.rays(pose)
+    from xvr_tpu.render.pallas import _choose_permutation
+
+    A = np.asarray(affinv)
+    d_mean = np.asarray(tgt.mean((0, 1)) - src.mean((0, 1)))
+    perm = _choose_permutation(A[:3, :3] @ d_mean)
+
+    w_plain = measured_warp_window(np.asarray(src), np.asarray(tgt), A, perm, (48, 48))
+    w_remap = measured_warp_window(
+        np.asarray(src), np.asarray(tgt), A, perm, (48, 48), remap=True
+    )
+    assert w_remap <= w_plain  # the shear never widens the window
+
+    out_plain = np.asarray(raymarch_trilinear_shearwarp(
+        density, affinv, src, tgt, perm=perm, warp_window=-(-w_plain // 8) * 8
+    ))
+    out_remap = np.asarray(raymarch_trilinear_shearwarp(
+        density, affinv, src, tgt, perm=perm,
+        warp_window=-(-w_remap // 8) * 8, warp_remap=True,
+    ))
+    np.testing.assert_allclose(out_remap, out_plain, rtol=1e-5, atol=1e-6)
+
+    def loss(t, remap, ww):
+        return jnp.sum(raymarch_trilinear_fast(
+            density, affinv, src, t, perm=perm, warp_window=ww, warp_remap=remap
+        ) ** 2)
+
+    g1 = np.asarray(jax.grad(lambda t: loss(t, False, -(-w_plain // 8) * 8))(tgt))
+    g2 = np.asarray(jax.grad(lambda t: loss(t, True, -(-w_remap // 8) * 8))(tgt))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6 * np.abs(g1).max())

@@ -82,6 +82,9 @@ def test_preprocess_xray_multiframe_reducefns():
     mx = _preprocess_xray(frames.copy(), 0, False, False, "max")
     sm = _preprocess_xray(frames.copy(), 0, False, False, "sum")
     ix = _preprocess_xray(frames.copy(), 0, False, False, 2)
+    # CLI-origin frame indices arrive as strings
+    ixs = _preprocess_xray(frames.copy(), 0, False, False, "2")
+    np.testing.assert_array_equal(ix, ixs)
     assert mx.shape == sm.shape == ix.shape == (1, 1, 4, 4)
     assert mx.max() == pytest.approx(1.0, abs=1e-4)
     # frame index 2 had the middle intensity

@@ -106,6 +106,8 @@ def _preprocess_xray(img, crop, subtract_background, linearize, reducefn):
         img = np.log(img.max()) - np.log(img)
 
     if img.ndim == 5:  # (1, 1, T, H, W) multiframe
+        if isinstance(reducefn, str) and reducefn.lstrip("-").isdigit():
+            reducefn = int(reducefn)  # CLI passes frame indices as strings
         if reducefn == "max":
             img = img.max(axis=2)
         elif reducefn == "sum":

@@ -363,12 +363,14 @@ class RegistrarBase:
                     proj.pallas_perm,
                     (proj.detector.height, proj.detector.width),
                     proj.shearwarp_grid,
+                    remap=proj.shearwarp_remap,
                 )
                 proj = proj.replace(shearwarp_window=int(-(-warp_w // 16) * 16))
             key = (
                 proj.detector, proj.renderer, proj.pallas_perm,
                 proj.pallas_window, proj.pallas_remap,
-                proj.shearwarp_window, proj.shearwarp_grid, n_itr, imagesim_cfg,
+                proj.shearwarp_window, proj.shearwarp_grid,
+                proj.shearwarp_remap, proj.shearwarp_bounds, n_itr, imagesim_cfg,
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)

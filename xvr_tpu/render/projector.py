@@ -65,6 +65,7 @@ def orientation_transform(orientation: str | None, dtype=jnp.float32) -> RigidTr
         "detector", "renderer", "labels", "n_samples", "voxel_shift",
         "pallas_perm", "pallas_window", "pallas_remap",
         "shearwarp_window", "shearwarp_grid", "shearwarp_bounds",
+        "shearwarp_remap",
     ],
 )
 @dataclass(frozen=True)
@@ -93,6 +94,9 @@ class Projector:
     # static per-channel march-slab bounds for labelmap channel renders
     # (channel_slab_bounds); None = every channel marches all slabs.
     shearwarp_bounds: tuple[tuple[int, int], ...] | None = None
+    # barrel-shear the final warp per detector column (flattens the gather
+    # window under in-plane roll, like the slab kernel's pallas_remap)
+    shearwarp_remap: bool = False
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -296,12 +300,22 @@ class Projector:
                     flush=True,
                 )
                 return self
-            ww = measured_warp_window(
-                *args,
-                (self.detector.height, self.detector.width),
-                proj.shearwarp_grid,
+            ds = (self.detector.height, self.detector.width)
+            w_det = measured_warp_window(*args, ds, proj.shearwarp_grid)
+            w_remap = measured_warp_window(
+                *args, ds, proj.shearwarp_grid, remap=True
             )
-            proj = proj.replace(shearwarp_window=int(-(-ww // quantum) * quantum))
+            q = lambda w: int(-(-w // quantum) * quantum)
+            # the sheared layout pays 4 barrel shears (~12 ms / 192-batch at
+            # 256^2) plus ~pad/Hd more tiles; each saved window row is worth
+            # ~0.13 ms, so remap only wins for extreme rolls (measured on
+            # v5e: plain w=72 @ 5,505 DRRs/s vs remap w=32 @ 3,918 — keep the
+            # plain layout unless the saving is very large)
+            use_remap = q(w_det) >= q(w_remap) + 96
+            proj = proj.replace(
+                shearwarp_window=q(w_remap) if use_remap else q(w_det),
+                shearwarp_remap=use_remap,
+            )
         return proj
 
     def tuned_for(self, poses, quantum: int = 8) -> "Projector":
@@ -444,6 +458,7 @@ class Projector:
                 warp_window=self.shearwarp_window,
                 mask=mask, labels=labels, eps=eps,
                 chan_bounds=self.shearwarp_bounds if labels is not None else None,
+                warp_remap=self.shearwarp_remap,
             )
             if self.renderer.endswith("_fast"):
                 return raymarch_trilinear_fast(

@@ -81,7 +81,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas import LANE, SUB, _gather_halves, _pack_pairs, _unpack
+from .pallas import LANE, SUB, _barrel_shear, _gather_halves, _pack_pairs, _shear_pad, _unpack
 
 MAX_LANE_HALVES = 12  # warp gather reaches Iv <= MAX_LANE_HALVES * 128 (1536)
 
@@ -310,9 +310,17 @@ def _warp_grads_kernel(uc, vc, ws, table, out, dudref, dvdref, *, Iu, Iv, H, win
     dvdref[0] = dva
 
 
-@partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret"))
-def _warp_with_grads(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret):
+@partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret", "remap"))
+def _warp_with_grads(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret, remap=False):
     """(bilerp, d/duc, d/dvc) each (B, Hd * Wdet); no ws scaling applied."""
+    if remap:
+        return _warp_sheared(
+            lambda u, v, w, ds: _warp_with_grads(
+                I, u, v, w, det_shape=ds, grid_shape=grid_shape,
+                window=window, interpret=interpret, remap=False,
+            ),
+            3, uc, vc, ws, det_shape=det_shape,
+        )
     B = I.shape[0]
     Iu, Iv = grid_shape
     Hd, Wdet = det_shape
@@ -340,9 +348,66 @@ def _warp_with_grads(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret)
     return tuple(o[:, :Hd, :Wdet].reshape(B, Hd * Wdet) for o in outs)
 
 
-@partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret"))
-def _warp(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret):
-    """Warp slope image I (B, Iu, Iv) to the detector: (B, Hd * Wdet)."""
+def _warp_shear_shift(uc, det_shape, xp=jnp):
+    """Per-column row shift (B, Wdet) flattening the warp's window coordinate.
+
+    ``uc`` IS the window coordinate of the warp (slope-grid row), ~affine over
+    the detector: uc ~ g_r*row + g_c*col. In-plane roll leaks the 128-lane
+    column direction into it (span ~72 on the benchmark ranges); re-homing
+    ray (r, c) to row r + round(g_c/g_r * c) cancels the column term, the
+    same barrel-shift trick as the slab kernel's shear remap
+    (xvr_tpu/render/pallas.py:_shear_shift)."""
+    Hd, Wdet = det_shape
+    B = uc.shape[0]
+    key = uc.reshape(B, Hd, Wdet)
+    sub = key[:, ::4, ::4]
+    g_r = xp.median((sub[:, 1:] - sub[:, :-1]).reshape(B, -1), axis=1) / 4.0
+    g_c = xp.median((sub[:, :, 1:] - sub[:, :, :-1]).reshape(B, -1), axis=1) / 4.0
+    safe = xp.where(xp.abs(g_r) < 1e-9, 1e-9, g_r)
+    cols = xp.arange(Wdet, dtype=key.dtype)
+    shift = xp.round((g_c / safe)[:, None] * cols[None, :])
+    shift = shift - shift.min(axis=1, keepdims=True)
+    return shift.astype(xp.int32)
+
+
+def _warp_sheared(warp_fn, n_out, uc, vc, ws, *, det_shape):
+    """Run a warp callable on barrel-sheared ray fields and un-shear its
+    outputs. ``warp_fn(uc, vc, ws, det_shape)`` must return ``n_out`` arrays
+    of shape (B, Hd' * Wdet); zero-filled slots are invalid (ws = 0)."""
+    Hd, Wdet = det_shape
+    B = ws.shape[0]
+    pad = _shear_pad(det_shape)
+    shift = _warp_shear_shift(uc, det_shape)
+
+    def go(x):
+        img = x.reshape(B, Hd, Wdet)
+        return _barrel_shear(img, shift, pad, Hd).reshape(B, (Hd + pad) * Wdet)
+
+    outs = warp_fn(go(uc), go(vc), go(ws), (Hd + pad, Wdet))
+    outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+    undone = tuple(
+        _barrel_shear(o.reshape(B, Hd + pad, Wdet), shift, pad, Hd, reverse=True)
+        .reshape(B, Hd * Wdet)
+        for o in outs
+    )
+    return undone if n_out > 1 else undone[0]
+
+
+@partial(jax.jit, static_argnames=("det_shape", "grid_shape", "window", "interpret", "remap"))
+def _warp(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret, remap=False):
+    """Warp slope image I (B, Iu, Iv) to the detector: (B, Hd * Wdet).
+
+    ``remap=True`` barrel-shears the ray fields per column first so rolled
+    poses keep a small per-tile gather window (size it with
+    ``measured_warp_window(remap=True)``)."""
+    if remap:
+        return _warp_sheared(
+            lambda u, v, w, ds: _warp(
+                I, u, v, w, det_shape=ds, grid_shape=grid_shape,
+                window=window, interpret=interpret, remap=False,
+            ),
+            1, uc, vc, ws, det_shape=det_shape,
+        )
     B = I.shape[0]
     Iu, Iv = grid_shape
     Hd, Wdet = det_shape
@@ -386,11 +451,11 @@ def _decompose(affine_inverse, source, target, perm):
     return s_p, d_p, wscale
 
 
-def _warp_folded(I, uc, vc, wscale, *, det_shape, grid_shape, window, interpret):
+def _warp_folded(I, uc, vc, wscale, *, det_shape, grid_shape, window, interpret, remap=False):
     """Warp a (B, Iu, Iv) or channelled (C, B, Iu, Iv) slope image to the
     detector; channels fold into the warp's batch axis (identical warp
     coordinates per channel). Returns (B, R) or (B, C, R)."""
-    kw = dict(det_shape=det_shape, grid_shape=grid_shape, window=window, interpret=interpret)
+    kw = dict(det_shape=det_shape, grid_shape=grid_shape, window=window, interpret=interpret, remap=remap)
     if I.ndim == 3:
         return _warp(I, uc, vc, wscale, **kw)
     C, B = I.shape[0], I.shape[1]
@@ -405,7 +470,7 @@ def _warp_folded(I, uc, vc, wscale, *, det_shape, grid_shape, window, interpret)
 def _shearwarp_from_fields(
     prepared, s_p, d_p, wscale,
     *, det_shape, grid_shape, warp_window, unroll, interpret, eps=1.0,
-    chan_bounds=None,
+    chan_bounds=None, warp_remap=False,
 ):
     """Render from permuted voxel-space ray fields (s_p/d_p: (B, R, 3))."""
     Iu, Iv = grid_shape
@@ -426,7 +491,7 @@ def _shearwarp_from_fields(
     return _warp_folded(
         I, uc, vc, wscale,
         det_shape=det_shape, grid_shape=(Iu, Iv),
-        window=warp_window, interpret=interpret,
+        window=warp_window, interpret=interpret, remap=warp_remap,
     )
 
 
@@ -455,6 +520,7 @@ def raymarch_trilinear_shearwarp(
     labels: tuple[int, ...] | None = None,
     eps: float = 1.0,
     chan_bounds: tuple[tuple[int, int], ...] | None = None,
+    warp_remap: bool = False,
 ) -> jnp.ndarray:
     """Forward-only shear-warp trilinear DRR: (B, R) line integrals in mm
     ((B, C, R) with ``mask``/``labels``; ``chan_bounds`` from
@@ -464,6 +530,8 @@ def raymarch_trilinear_shearwarp(
     (``source`` (B, 1, 3) — a point source is required — and ``target``
     (B, R, 3) world mm). ``warp_window`` bounds the per-tile slope-row span of
     the final warp; size it with :func:`measured_warp_window` for rolled poses.
+    ``warp_remap`` barrel-shears the warp per column so rolled poses keep a
+    small window — measure with ``measured_warp_window(remap=True)``.
     """
     if source.shape[-2] != 1:
         raise ValueError("shear-warp requires a point source: source (B, 1, 3)")
@@ -493,7 +561,7 @@ def raymarch_trilinear_shearwarp(
         prepared, s_p, d_p, wscale,
         det_shape=det_shape, grid_shape=tuple(int(x) for x in grid_shape),
         warp_window=warp_window, unroll=int(unroll), interpret=bool(interpret),
-        eps=float(eps), chan_bounds=chan_bounds,
+        eps=float(eps), chan_bounds=chan_bounds, warp_remap=bool(warp_remap),
     )
     if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]
         out = out.at[:, 0].add(-jnp.sum(out[:, 1:], axis=1))
@@ -518,6 +586,7 @@ def measured_warp_window(
     perm: tuple[int, int, int],
     det_shape: tuple[int, int],
     grid_shape: tuple[int, int] | None = None,
+    remap: bool = False,
 ) -> int:
     """EXACT per-tile slope-row span (grid cells) of the final warp for these
     rays — the ``warp_window`` needed so no tile's gather window clips.
@@ -537,11 +606,38 @@ def measured_warp_window(
     lo, hi = u.min(axis=1), u.max(axis=1)
     step = np.maximum(hi - lo, 1e-6) / (Iu - 5)
     uc = ((u - (lo - 2.0 * step)[:, None]) / step[:, None]).reshape(-1, Hd, Wdet)
+    if remap:
+        # simulate the barrel shear: place ray (r, c) at row r + shift[c]
+        # (shift clipped to the static pad, exactly like _warp_sheared)
+        pad = _shear_pad(det_shape)
+        shift = np.clip(
+            np.asarray(_warp_shear_shift(uc.reshape(-1, Hd * Wdet), det_shape, xp=np)),
+            0, pad,
+        )
+        B = uc.shape[0]
+        sheared = np.zeros((B, Hd + pad, Wdet), uc.dtype)
+        valid = np.zeros((B, Hd + pad, Wdet), bool)
+        for b in range(B):
+            for c in range(Wdet):
+                sh = int(shift[b, c])
+                sheared[b, sh : sh + Hd, c] = uc[b, :, c]
+                valid[b, sh : sh + Hd, c] = True
+        uc, vmask = sheared, valid
+        Hd = Hd + pad
+    else:
+        vmask = np.ones_like(uc, dtype=bool)
     span = 0.0
     for i0 in range(0, Hd, SUB):
         for j0 in range(0, Wdet, LANE):
             tile = uc[:, i0 : i0 + SUB, j0 : j0 + LANE]
-            span = max(span, float((tile.max(axis=(1, 2)) - tile.min(axis=(1, 2))).max()))
+            tv = vmask[:, i0 : i0 + SUB, j0 : j0 + LANE]
+            if not tv.any():
+                continue
+            big = np.where(tv, tile, np.inf).min(axis=(1, 2))
+            small = np.where(tv, tile, -np.inf).max(axis=(1, 2))
+            live = tv.any(axis=(1, 2))
+            d = np.where(live, small - big, 0.0)
+            span = max(span, float(d.max()))
     return int(np.ceil(span)) + 3
 
 
@@ -689,18 +785,18 @@ def _slope_pieces(d_p, Iu, Iv):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fast(cfg, prepared, packed_table, affine_inverse, source, target):
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     return _shearwarp_from_fields(
         prepared, s_p, d_p, wscale,
         det_shape=det_shape, grid_shape=grid_shape,
         warp_window=warp_window, unroll=unroll, interpret=interpret, eps=eps,
-        chan_bounds=chan_bounds,
+        chan_bounds=chan_bounds, warp_remap=warp_remap,
     )
 
 
 def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     Iu, Iv = grid_shape
     _, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
@@ -712,7 +808,7 @@ def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
     out = _warp_folded(
         I, uc, vc, wscale,
         det_shape=det_shape, grid_shape=grid_shape,
-        window=warp_window, interpret=interpret,
+        window=warp_window, interpret=interpret, remap=warp_remap,
     )
     return out, (prepared, packed_table, affine_inverse, source, target, I)
 
@@ -730,7 +826,7 @@ def _fast_bwd(cfg, res, g):
     O(h^2)-consistent gradient of the same integral; useful as a
     cross-check; single-channel only).
     """
-    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds = cfg
+    det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
     prepared, packed_table, affine_inverse, source, target, I = res
     (s_p, d_p, wscale), light_vjp = jax.vjp(
         lambda src, tgt: _decompose(affine_inverse, src, tgt, perm), source, target
@@ -761,7 +857,7 @@ def _fast_bwd(cfg, res, g):
     bil, dWdu, dWdv = _warp_with_grads(
         If, ucf, vcf, wsf,
         det_shape=det_shape, grid_shape=grid_shape,
-        window=warp_window, interpret=interpret,
+        window=warp_window, interpret=interpret, remap=warp_remap,
     )
     gwf = gf * wsf
     Ibar = _warp_transpose(gwf, ucf, vcf, grid_shape=grid_shape, det_shape=det_shape)
@@ -821,6 +917,7 @@ def raymarch_trilinear_fast(
     labels: tuple[int, ...] | None = None,
     eps: float = 1.0,
     chan_bounds: tuple[tuple[int, int], ...] | None = None,
+    warp_remap: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fast trilinear render, MXU forward AND backward.
 
@@ -885,6 +982,7 @@ def raymarch_trilinear_fast(
         str(backward),
         float(eps),
         tuple((int(a), int(b)) for a, b in chan_bounds) if chan_bounds is not None else None,
+        bool(warp_remap),
     )
     out = _fast(cfg, prepared, packed_table, affine_inverse, source, target)
     if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]

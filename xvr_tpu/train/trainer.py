@@ -405,9 +405,27 @@ class Trainer:
             perms = {p.pallas_perm for p in upgraded}
             if not all(p.renderer.endswith("_fast") for p in upgraded) or len(perms) != 1:
                 return False
-            warp_w = max(p.shearwarp_window for p in upgraded)
-            # unify the per-label channel bounds across subjects (union):
-            # the step compiles once, so the static treedef must be shared
+            # unify static layout across subjects — the step compiles once,
+            # so the treedef must be shared. If subjects disagree on the warp
+            # remap, fall back to the unsheared layout with re-measured
+            # windows (window values are layout-specific).
+            remaps = {p.shearwarp_remap for p in upgraded}
+            if len(remaps) > 1:
+                from ..render.shearwarp import measured_warp_window
+
+                ws = []
+                for p in upgraded:
+                    src_p, tgt_p = p.rays_host(probes)
+                    ws.append(measured_warp_window(
+                        src_p, tgt_p, p.affine_inverse_host(), p.pallas_perm,
+                        (p.detector.height, p.detector.width),
+                        p.shearwarp_grid, remap=False,
+                    ))
+                warp_w = int(-(-max(ws) // 8) * 8)
+                upgraded = [p.replace(shearwarp_remap=False) for p in upgraded]
+            else:
+                warp_w = max(p.shearwarp_window for p in upgraded)
+            # per-label channel bounds: union across subjects
             bounds = None
             bset = {p.shearwarp_bounds for p in upgraded} - {None}
             if bset:
