@@ -129,3 +129,79 @@ def test_imagenet_backbone_grafting(tmp_path):
     # missing file -> unchanged params, ok=False
     same, ok2 = load_imagenet_backbone(params, "resnet18", weights_path=tmp_path / "nope.pth")
     assert not ok2
+
+
+def test_construct_antipode_involution_and_semantics():
+    """Antipodal pose (PA/AP flip ambiguity, reference model/inference.py:52-55):
+    alpha -> pi - ... i.e. negate alpha/beta and add 180 deg to alpha; gamma
+    and the translation stay. Applying it twice returns the original pose."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xvr_tpu.geometry import convert
+    from xvr_tpu.models.inference import construct_antipode
+
+    rot = jnp.asarray([[np.deg2rad(170.0), np.deg2rad(-8.0), np.deg2rad(5.0)]])
+    xyz = jnp.asarray([[4.0, 300.0, -6.0]])
+    pose = convert(rot, xyz, "euler_angles", "ZXY")
+    anti = construct_antipode(pose)
+    a_rot, a_xyz = (np.asarray(x)[0] for x in anti.convert("euler_angles", "ZXY"))
+    # wrap-insensitive comparison through the rotation matrices
+    expect = convert(
+        jnp.asarray([[np.pi - rot[0, 0], -rot[0, 1], rot[0, 2]]]), xyz,
+        "euler_angles", "ZXY",
+    )
+    np.testing.assert_allclose(
+        np.asarray(anti.matrix), np.asarray(expect.matrix), atol=1e-5
+    )
+    again = construct_antipode(anti)
+    np.testing.assert_allclose(
+        np.asarray(again.matrix), np.asarray(pose.matrix), atol=1e-5
+    )
+
+
+def test_correct_pose_with_itk_warp(tmp_path):
+    """correct_pose composes the predicted pose with the ITK/ANTs rigid warp
+    (reference model/inference.py:43-49); warp=None is the identity. With an
+    identity direction matrix and a centered volume, a pure-translation ITK
+    transform appears (LPS->RAS-conjugated) in the composed matrix."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xvr_tpu.geometry import convert
+    from xvr_tpu.io import save_nifti
+    from xvr_tpu.models.inference import correct_pose
+
+    vol = tmp_path / "ct.nii.gz"
+    n, sp = 8, 2.0
+    aff = np.eye(4) * sp
+    aff[3, 3] = 1.0
+    aff[:3, 3] = -(n - 1) / 2.0 * sp
+    save_nifti(vol, np.zeros((n, n, n), np.float32), aff)
+
+    itk = tmp_path / "warp.txt"
+    itk.write_text(
+        "#Insight Transform File V1.0\n#Transform 0\n"
+        "Transform: AffineTransform_double_3_3\n"
+        "Parameters: 1 0 0 0 1 0 0 0 1 5 -3 2\n"
+        "FixedParameters: 0 0 0\n"
+    )
+
+    pose = convert(
+        jnp.asarray([[np.pi, 0.05, -0.02]]), jnp.asarray([[3.0, 250.0, -4.0]]),
+        "euler_angles", "ZXY",
+    )
+    assert correct_pose(pose, None, vol, False) is pose
+
+    out = correct_pose(pose, itk, vol, False)
+    M_pose = np.asarray(pose.matrix)[0]
+    M_out = np.asarray(out.matrix)[0]
+    # a.compose(b) applies a then b: matrix = b @ a
+    T = M_out @ np.linalg.inv(M_pose)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-5)
+    # ANTs translations are LPS; RAS flips x and y
+    np.testing.assert_allclose(T[:3, 3], [-5.0, 3.0, 2.0], atol=1e-4)
+
+    inv = correct_pose(pose, itk, vol, True)
+    Ti = np.asarray(inv.matrix)[0] @ np.linalg.inv(M_pose)
+    np.testing.assert_allclose(Ti[:3, 3], [5.0, -3.0, -2.0], atol=1e-4)

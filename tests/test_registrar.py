@@ -236,3 +236,24 @@ def test_registrar_model_init(phantom, gt_xray, tmp_path):
     # the pipeline contract is exercised (resample -> crop -> transforms ->
     # forward -> decode), not accuracy
     assert intrinsics["height"] == HEIGHT
+
+
+@pytest.mark.slow
+def test_registrar_equalize_path(phantom, gt_xray):
+    """--equalize runs the differentiable histogram equalization inside the
+    similarity loop (reference preprocess.py:40-66): the stage must stay
+    finite and still improve the similarity."""
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = np.asarray(rot0)[0] + np.deg2rad([2.0, -1.5, 1.0])
+    xyz_init = np.asarray(xyz0)[0] + np.array([4.0, -5.0, 3.0])
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=rot_init.tolist(), xyz=xyz_init.tolist(),
+        linearize=False, equalize=True, scales="2", n_itrs="60",
+        reverse_x_axis=False, lr_rot=5e-3, verbose=0,
+    )
+    gt, intrinsics, proj, init_pose, final_pose, kwargs = reg.run(xray_path)
+    ncc = kwargs["trajectory"]["ncc"]
+    assert len(ncc) >= 2 and np.isfinite(ncc).all()
+    assert ncc[-1] > ncc[0]  # similarity improved under equalization
