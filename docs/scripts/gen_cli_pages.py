@@ -29,7 +29,10 @@ PAGES = {
 
 
 def help_text(cmd: str) -> str:
-    r = CliRunner().invoke(cli, cmd.split() + ["--help"], catch_exceptions=False)
+    r = CliRunner().invoke(
+        cli, cmd.split() + ["--help"], catch_exceptions=False,
+        prog_name="xvr",
+    )
     assert r.exit_code == 0, r.output
     return r.output.rstrip()
 
