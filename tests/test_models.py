@@ -205,3 +205,35 @@ def test_correct_pose_with_itk_warp(tmp_path):
     inv = correct_pose(pose, itk, vol, True)
     Ti = np.asarray(inv.matrix)[0] @ np.linalg.inv(M_pose)
     np.testing.assert_allclose(Ti[:3, 3], [5.0, -3.0, -2.0], atol=1e-4)
+
+
+def test_resample_matches_direct_render():
+    """Intrinsics reprojection (reference diffdrr.utils.resample via
+    model/inference.py:26-40): along matched ray angles the line integral is
+    IDENTICAL, so resampling a DRR rendered at one (sdd, delx) to another
+    must reproduce a direct render at the target intrinsics (away from the
+    border where the source detector has no data)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xvr_tpu.geometry import convert
+    from xvr_tpu.models.inference import resample
+    from xvr_tpu.render import Projector, make_test_volume
+
+    vol = make_test_volume(32, spacing=3.0, kind="sphere")
+    pose = convert(
+        jnp.asarray([[182.0, -2.0, 1.0]]), jnp.asarray([[2.0, 400.0, -3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    H = 64
+    pa = Projector.from_volume(vol, sdd=700.0, height=H, delx=2.4)
+    pb = Projector.from_volume(vol, sdd=1000.0, height=H, delx=2.0)
+    img_a = pa(pose)
+    img_b = np.asarray(pb(pose))
+    out = np.asarray(resample(img_a, 700.0, 2.4, 0.0, 0.0, 1000.0, 2.0))
+    # compare the interior (border pixels may fall off detector A)
+    s = 6
+    a, b = out[..., s:-s, s:-s], img_b[..., s:-s, s:-s]
+    scale = np.abs(b).max()
+    assert np.abs(a - b).max() / scale < 0.03
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999

@@ -341,3 +341,20 @@ def test_clahe_matches_per_pixel_reference():
         )
     got = np.asarray(clahe(x, jnp.asarray(clip)))[:, 0]
     assert np.abs(got - out).max() < 0.02
+
+
+def test_warmup_cosine_schedule_shape():
+    """Linear warmup to lr, cosine decay to ~0 at the end (reference
+    model/scheduler.py:6-37)."""
+    from xvr_tpu.train.schedule import identity_schedule, warmup_cosine_schedule
+
+    lr, warm, total = 1e-3, 10, 100
+    s = warmup_cosine_schedule(lr, warm, total)
+    vals = np.asarray([float(s(i)) for i in range(total + 1)])
+    np.testing.assert_allclose(vals[0], 0.0, atol=lr / warm + 1e-12)
+    np.testing.assert_allclose(vals[warm], lr, rtol=1e-5)
+    assert (np.diff(vals[:warm]) > 0).all()  # linear ramp up
+    assert (np.diff(vals[warm:]) <= 1e-12).all()  # monotone decay
+    assert vals[total] < 0.05 * lr  # cosine lands near zero
+    i = identity_schedule(lr)
+    assert float(i(0)) == float(i(12345)) == lr
