@@ -90,3 +90,42 @@ def test_cli_register_fixed_and_animate(workdir):
     r = _invoke(["animate", "-i", str(bundle), "-o", str(workdir / "traj.gif"), "--skip", "5"])
     assert r.exit_code == 0, r.output
     assert (workdir / "traj.gif").exists()
+
+
+def test_local_run_jsonl_logging(tmp_path, monkeypatch):
+    """The wandb-or-JSONL shim: start event with config, metric rows, figure
+    persistence, and non-JSON values stringified."""
+    monkeypatch.setenv("XVR_LOG_DIR", str(tmp_path))
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
+    import json
+    from pathlib import Path
+
+    from xvr_tpu.cli.logging import start_run
+
+    run = start_run("proj", "myrun", {"lr": 1e-3, "path": Path("/x")})
+    run.log({"itr": 0, "loss": 1.5})
+    run.log({"itr": 1, "loss": 0.5, "weird": object()})
+    run.finish()
+
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "proj" / "myrun.jsonl").read_text().splitlines()
+    ]
+    assert rows[0]["event"] == "start" and rows[0]["config"]["lr"] == 1e-3
+    assert rows[1]["loss"] == 1.5
+    assert isinstance(rows[2]["weird"], str)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot([0, 1])
+        run.log({"itr": 2, "imgs": fig})
+        plt.close(fig)
+        pngs = list((tmp_path / "proj" / "myrun" / "figures").glob("*.png"))
+        assert len(pngs) == 1
+    except ImportError:
+        pass
