@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 from click.testing import CliRunner
 
-import jax
 import jax.numpy as jnp
 
 from xvr_tpu.cli.cli import cli

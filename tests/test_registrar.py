@@ -4,7 +4,6 @@ A DRR rendered at a known pose is written as a DICOM "X-ray"; the registrar
 starts from a perturbed pose and must recover the ground truth.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -15,7 +15,6 @@ jit/vmap/grad-safe (no data-dependent control flow).
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 # Number of parameters each angular parameterization carries.
 # Mirrors diffdrr.registration.N_ANGULAR_COMPONENTS (consumed at

@@ -14,8 +14,6 @@ handful of fused reductions — no explicit patch extraction.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

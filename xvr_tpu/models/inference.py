@@ -10,9 +10,7 @@ resolve the AP/PA flip ambiguity of foundation models.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry import RigidTransform, convert
 from ..utils.itk import get_4x4

@@ -14,8 +14,6 @@ program and shard cleanly with pjit/shard_map.
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
-from functools import partial
-
 import flax.linen as nn
 import jax.numpy as jnp
 

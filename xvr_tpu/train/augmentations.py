@@ -11,8 +11,6 @@ branch-free.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -677,7 +677,7 @@ class Trainer:
         """Host training loop with checkpointing and logging
         (trainer.py:153-183 semantics; per-step exceptions are not swallowed —
         the jitted step is shape-static and cannot fail sporadically)."""
-        from ..utils.profiling import maybe_trace_dir, trace
+        from ..utils.profiling import maybe_trace_dir
 
         t0 = time.time()
         last = {}

@@ -13,13 +13,12 @@ preprocessing-only and never on the training/registration hot path.
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.se3 import RigidTransform, make_matrix, project_onto_SO3
+from ..geometry.se3 import RigidTransform, project_onto_SO3
 from ..io.nifti import load_nifti, to_canonical
 
 

@@ -9,8 +9,6 @@ jit/grad-safe (the equalize is used inside the registrar's similarity loop).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
