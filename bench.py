@@ -24,7 +24,43 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_healthy_device(attempts: int = 6, probe_timeout: int = 240) -> bool:
+    """Confirm the accelerator answers before this process touches it.
+
+    The tunneled TPU client can wedge indefinitely on its first device op
+    (e.g. mid-recovery worker); a wedged client never recovers in-process.
+    Probing from SUBPROCESSES keeps this process clean until the device is
+    known healthy, and bounds the failure time instead of hanging the bench.
+    """
+    import subprocess
+    import time as _t
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "(jnp.ones((128,128))@jnp.ones((128,128))).block_until_ready();"
+        "print('OK')"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=probe_timeout, text=True,
+            )
+            if "OK" in r.stdout:
+                log(f"device probe ok (attempt {i + 1})")
+                return True
+            log(f"device probe failed (attempt {i + 1}): rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe timed out after {probe_timeout}s (attempt {i + 1})")
+        _t.sleep(45)
+    return False
+
+
 def main():
+    if not wait_for_healthy_device():
+        log("accelerator unreachable: the tunneled TPU worker did not answer "
+            "any probe; aborting instead of hanging")
+        sys.exit(3)
     import jax
     import jax.numpy as jnp
 
