@@ -72,3 +72,26 @@ def test_cli_dcm2nii(tmp_path):
     assert r.exit_code == 0, r.output
     data, _ = load_nifti(out)
     assert data.shape == (ROWS, COLS, SLICES)
+
+
+def test_multiframe_series_frame_spacing(tmp_path):
+    """Multiframe files contribute one z per FRAME: two 4-frame files at
+    z=0 and z=4 with 1 mm frame spacing make an 8-slice volume with a
+    1 mm slab step (not the 4 mm per-file step)."""
+    rng = np.random.default_rng(1)
+    frames_a = rng.integers(0, 4000, size=(4, 8, 8)).astype(np.uint16)
+    frames_b = rng.integers(0, 4000, size=(4, 8, 8)).astype(np.uint16)
+    for name, arr, z in (("a.dcm", frames_a, 0.0), ("b.dcm", frames_b, 4.0)):
+        extra = [
+            (0x0020, 0x0032, b"DS", ["0", "0", f"{z:g}"]),
+            (0x0020, 0x0037, b"DS", ["1", "0", "0", "0", "1", "0"]),
+            (0x0018, 0x0088, b"DS", "1"),  # SpacingBetweenSlices (per frame)
+        ]
+        dcmwrite(tmp_path / name, arr, sdd=0.0, row_spacing=1.0, col_spacing=1.0,
+                 extra=extra)
+    out = dicom_series_to_nifti(tmp_path, tmp_path / "ct.nii.gz")
+    data, affine = load_nifti(out)
+    assert data.shape == (8, 8, 8)
+    np.testing.assert_allclose(affine[2, 2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(data[:, :, 0], frames_a[0].astype(np.float32))
+    np.testing.assert_allclose(data[:, :, 4], frames_b[0].astype(np.float32))

@@ -57,12 +57,19 @@ def dicom_series_to_nifti(inpath: str | Path, outpath: str | Path) -> Path:
         arr = pixel_array(ds).astype(np.float32)
         slope = float(ds.get("RescaleSlope", 1.0) or 1.0)
         inter = float(ds.get("RescaleIntercept", 0.0) or 0.0)
-        if arr.ndim == 3:  # multiframe file: treat frames as slices
-            for frame in arr:
+        z0 = position(ds)
+        if arr.ndim == 3:  # multiframe file: frames are slices at the file's
+            # own frame spacing — zs must stay aligned with imgs, or the
+            # affine's slab step gets stretched by the frame count
+            dzf = float(
+                ds.get("SpacingBetweenSlices", ds.get("SliceThickness", 1.0)) or 1.0
+            )
+            for i, frame in enumerate(arr):
                 imgs.append(frame * slope + inter)
+                zs.append(z0 + i * dzf)
         else:
             imgs.append(arr * slope + inter)
-        zs.append(position(ds))
+            zs.append(z0)
 
     vol = np.stack(imgs, axis=-1)  # (rows, cols, slices)
     spacing = first.get("PixelSpacing", first.get("ImagerPixelSpacing", [1.0, 1.0]))

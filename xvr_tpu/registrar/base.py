@@ -443,6 +443,9 @@ class RegistrarBase:
                         pallas_perm=coarse.pallas_perm,
                         pallas_window=coarse.pallas_window,
                         pallas_remap=False,
+                        # carry the warp-layout decision (extreme-roll barrel
+                        # shift); per-stage windows re-measure under it
+                        shearwarp_remap=coarse.shearwarp_remap,
                     )
             if self.projector.renderer == "trilinear":
                 coarse = self.projector.rescale_detector(scales[0]).with_pallas(init_pose)

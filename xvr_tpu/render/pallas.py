@@ -1098,17 +1098,18 @@ def _shear_pad(det_shape: tuple[int, int]) -> int:
     return -(-(det_shape[1] // 2) // SUB) * SUB
 
 
-def _shear_shift(s0, s1, d0, d1, M, det_shape, xp=jnp):
-    """Per-column row shift (B, Wdet) that flattens the window coordinate.
+def _shift_from_key(key, det_shape, xp=jnp):
+    """Per-column row shift (B, Wdet) flattening an ~affine window coordinate.
 
-    The mid-march window coordinate is ~affine over the detector grid,
-    key ~ g_r*row + g_c*col; placing ray (r, c) at row r + round(g_c/g_r * c)
-    cancels the column term, so an 8x128 tile's span drops from
-    |g_r|*8 + |g_c|*128 to ~|g_r|*9. Slopes are median-estimated on a coarse
-    subgrid (robust to edge rays with degenerate direction)."""
+    ``key ~ g_r*row + g_c*col`` over the detector grid; placing ray (r, c) at
+    row r + round(g_c/g_r * c) cancels the column term, so an 8x128 tile's
+    span drops from |g_r|*8 + |g_c|*128 to ~|g_r|*9. Slopes are
+    median-estimated on a coarse subgrid (robust to edge rays with degenerate
+    direction). Shared by the slab kernel's ray remap and the shear-warp
+    warp's barrel shift (xvr_tpu/render/shearwarp.py)."""
     Hd, Wdet = det_shape
-    B = s0.shape[0]
-    key = _remap_key(s0, s1, d0, d1, M, xp=xp).reshape(B, Hd, Wdet)
+    B = key.shape[0]
+    key = key.reshape(B, Hd, Wdet)
     sub = key[:, ::4, ::4]
     g_r = xp.median((sub[:, 1:] - sub[:, :-1]).reshape(B, -1), axis=1) / 4.0
     g_c = xp.median((sub[:, :, 1:] - sub[:, :, :-1]).reshape(B, -1), axis=1) / 4.0
@@ -1118,6 +1119,12 @@ def _shear_shift(s0, s1, d0, d1, M, det_shape, xp=jnp):
     shift = xp.round(ratio[:, None] * cols[None, :])
     shift = shift - shift.min(axis=1, keepdims=True)
     return shift.astype(xp.int32)
+
+
+def _shear_shift(s0, s1, d0, d1, M, det_shape, xp=jnp):
+    """Per-column row shift for the slab kernel's mid-march window key."""
+    key = _remap_key(s0, s1, d0, d1, M, xp=xp)
+    return _shift_from_key(key, det_shape, xp=xp)
 
 
 def _barrel_shear(x, shift, pad, Hd, reverse=False):

@@ -302,10 +302,14 @@ class Projector:
                 return self
             ds = (self.detector.height, self.detector.width)
             w_det = measured_warp_window(*args, ds, proj.shearwarp_grid)
-            w_remap = measured_warp_window(
-                *args, ds, proj.shearwarp_grid, remap=True
-            )
             q = lambda w: int(-(-w // quantum) * quantum)
+            # measure the sheared layout only when it could possibly win
+            # (the switchover below needs a >= 96-row saving)
+            w_remap = (
+                measured_warp_window(*args, ds, proj.shearwarp_grid, remap=True)
+                if q(w_det) >= 96
+                else w_det
+            )
             # the sheared layout pays 4 barrel shears (~12 ms / 192-batch at
             # 256^2) plus ~pad/Hd more tiles; each saved window row is worth
             # ~0.13 ms, so remap only wins for extreme rolls (measured on

@@ -351,23 +351,12 @@ def _warp_with_grads(I, uc, vc, ws, *, det_shape, grid_shape, window, interpret,
 def _warp_shear_shift(uc, det_shape, xp=jnp):
     """Per-column row shift (B, Wdet) flattening the warp's window coordinate.
 
-    ``uc`` IS the window coordinate of the warp (slope-grid row), ~affine over
-    the detector: uc ~ g_r*row + g_c*col. In-plane roll leaks the 128-lane
-    column direction into it (span ~72 on the benchmark ranges); re-homing
-    ray (r, c) to row r + round(g_c/g_r * c) cancels the column term, the
-    same barrel-shift trick as the slab kernel's shear remap
-    (xvr_tpu/render/pallas.py:_shear_shift)."""
-    Hd, Wdet = det_shape
-    B = uc.shape[0]
-    key = uc.reshape(B, Hd, Wdet)
-    sub = key[:, ::4, ::4]
-    g_r = xp.median((sub[:, 1:] - sub[:, :-1]).reshape(B, -1), axis=1) / 4.0
-    g_c = xp.median((sub[:, :, 1:] - sub[:, :, :-1]).reshape(B, -1), axis=1) / 4.0
-    safe = xp.where(xp.abs(g_r) < 1e-9, 1e-9, g_r)
-    cols = xp.arange(Wdet, dtype=key.dtype)
-    shift = xp.round((g_c / safe)[:, None] * cols[None, :])
-    shift = shift - shift.min(axis=1, keepdims=True)
-    return shift.astype(xp.int32)
+    ``uc`` IS the warp's window coordinate (slope-grid row), ~affine over the
+    detector; delegates to the slab kernel's shared estimator
+    (:func:`xvr_tpu.render.pallas._shift_from_key`)."""
+    from .pallas import _shift_from_key
+
+    return _shift_from_key(uc, det_shape, xp=xp)
 
 
 def _warp_sheared(warp_fn, n_out, uc, vc, ws, *, det_shape):
@@ -617,11 +606,11 @@ def measured_warp_window(
         B = uc.shape[0]
         sheared = np.zeros((B, Hd + pad, Wdet), uc.dtype)
         valid = np.zeros((B, Hd + pad, Wdet), bool)
-        for b in range(B):
-            for c in range(Wdet):
-                sh = int(shift[b, c])
-                sheared[b, sh : sh + Hd, c] = uc[b, :, c]
-                valid[b, sh : sh + Hd, c] = True
+        b_ix = np.arange(B)[:, None, None]
+        r_ix = np.arange(Hd)[None, :, None] + shift[:, None, :]
+        c_ix = np.broadcast_to(np.arange(Wdet)[None, None, :], r_ix.shape)
+        sheared[b_ix, r_ix, c_ix] = uc
+        valid[b_ix, r_ix, c_ix] = True
         uc, vmask = sheared, valid
         Hd = Hd + pad
     else:
