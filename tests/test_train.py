@@ -358,3 +358,34 @@ def test_warmup_cosine_schedule_shape():
     assert vals[total] < 0.05 * lr  # cosine lands near zero
     i = identity_schedule(lr)
     assert float(i(0)) == float(i(12345)) == lr
+
+
+@pytest.mark.slow
+def test_trainer_reframe_warp(tiny_dataset, tmp_path):
+    """--warp composes the template->patient rigid reframe into predicted
+    poses during training (reference trainer.py:145,209-210): a trainer built
+    with an identity ITK warp must produce the same first-step loss as one
+    without, and the reframe matrix must match get_4x4."""
+    itk = tmp_path / "warp.txt"
+    itk.write_text(
+        "#Insight Transform File V1.0\n#Transform 0\n"
+        "Transform: AffineTransform_double_3_3\n"
+        "Parameters: 1 0 0 0 1 0 0 0 1 0 0 0\n"
+        "FixedParameters: 0 0 0\n"
+    )
+    tr_plain = make_trainer(
+        tiny_dataset, tmp_path / "o1", n_total_itrs=1, n_grad_accum_itrs=1,
+        batch_size=4, seed=9,
+    )
+    m1 = {k: float(v) for k, v in jax.device_get(tr_plain.step(0)).items()}
+
+    tr_warp = make_trainer(
+        tiny_dataset, tmp_path / "o2", n_total_itrs=1, n_grad_accum_itrs=1,
+        batch_size=4, seed=9, warp=itk,
+    )
+    assert tr_warp.reframe is not None
+    np.testing.assert_allclose(
+        np.asarray(tr_warp.reframe.matrix).reshape(4, 4), np.eye(4), atol=1e-5
+    )
+    m2 = {k: float(v) for k, v in jax.device_get(tr_warp.step(0)).items()}
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=1e-4)
