@@ -128,3 +128,31 @@ def test_local_run_jsonl_logging(tmp_path, monkeypatch):
         assert len(pngs) == 1
     except ImportError:
         pass
+
+
+def test_cli_register_directory_glob(workdir, tmp_path):
+    """XRAY arguments that are directories glob by --pattern and register
+    every match (reference register.py run/parse_dcmfiles semantics);
+    --init_only keeps it cheap."""
+    import shutil
+
+    xdir = tmp_path / "xrays"
+    xdir.mkdir()
+    shutil.copy(workdir / "xray.dcm", xdir / "a.dcm")
+    shutil.copy(workdir / "xray.dcm", xdir / "b.dcm")
+    (xdir / "ignored.txt").write_text("not a dicom")
+
+    res = tmp_path / "results"
+    r = _invoke([
+        "register", "fixed", str(xdir),
+        "-v", str(workdir / "ct.nii.gz"), "-o", str(res),
+        "--rot", "3.18", "0.0", "0.0", "--xyz", "0.0", "225.0", "0.0",
+        "--pattern", "*.dcm", "--init_only", "--verbose", "0",
+    ])
+    assert r.exit_code == 0, r.output
+    assert (res / "a" / "parameters.npz").exists()
+    assert (res / "b" / "parameters.npz").exists()
+    assert not (res / "ignored").exists()
+    # init-only bundles record the initial pose and no final pose
+    d = np.load(res / "a" / "parameters.npz")
+    assert "init_pose" in d.files and "final_pose" not in d.files
