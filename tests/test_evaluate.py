@@ -79,3 +79,31 @@ def test_evaluate_script_end_to_end(tmp_path):
     assert float(row["mtre_init"]) > 1.0  # init is off
     assert float(row["mtre"]) < 1e-2  # final == truth
     assert float(row["runtime"]) == 1.25
+
+
+def test_process_filenames_layouts(tmp_path):
+    """Path inference for result bundles (reference evaluate.py:86-108):
+    dataset/subject/xray, partition prefixes, and checkpoint-epoch sweeps
+    (subject/epoch/xray)."""
+    mod = _load_evaluate()
+    root = tmp_path / "results"
+    paths = [
+        root / "deepfluoro" / "subject01" / "xray0" / "parameters.npz",
+        root / "finetune" / "ljubljana" / "subject02" / "frontal" / "parameters.npz",
+        root / "deepfluoro" / "subject03" / "0250" / "xray7" / "parameters.npz",
+    ]
+    for p in paths:
+        p.parent.mkdir(parents=True)
+        p.touch()
+    rows = mod.process_filenames(sorted(paths), root)
+    by_subject = {r[3]: r for r in rows}
+
+    _, dataset, partition, subject, epoch, xray = by_subject["subject01"]
+    assert (dataset, epoch, xray) == ("deepfluoro", None, "xray0")
+
+    _, dataset, partition, subject, epoch, xray = by_subject["subject02"]
+    assert dataset == "ljubljana" and xray == "frontal"
+    assert "finetune" in partition
+
+    _, dataset, partition, subject, epoch, xray = by_subject["subject03"]
+    assert (dataset, epoch, xray) == ("deepfluoro", "0250", "xray7")
