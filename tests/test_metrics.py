@@ -133,3 +133,24 @@ def test_evaluator_translation_mtre():
     m = np.asarray(Evaluator(proj, fid)(p1, p2))
     np.testing.assert_allclose(m[2], 2.0, atol=1e-4)  # mTRE = |dx|
     assert m[0] > 0 and m[1] > 0 and m[3] > 0
+
+
+def test_window_mean_matmul_matches_direct():
+    """The MXU banded-matmul windowed mean (TPU path) equals the direct
+    reduce_window sum, values and gradients, on dense and flat-background
+    images alike."""
+    import jax
+    from xvr_tpu.metrics.ncc import _window_mean_direct, _window_mean_matmul
+
+    rng = np.random.default_rng(5)
+    dense = rng.normal(0.5, 0.2, (2, 1, 40, 56)).astype(np.float32)
+    flat = np.zeros((2, 1, 40, 56), np.float32)
+    flat[:, :, 10:25, 15:30] = rng.uniform(0.5, 1.0, (2, 1, 15, 15))
+    for arr in (dense, flat):
+        x = jnp.asarray(arr)
+        a = _window_mean_direct(x, 9)
+        b = _window_mean_matmul(x, 9)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        ga = jax.grad(lambda v: jnp.sum(_window_mean_direct(v, 9) ** 2))(x)
+        gb = jax.grad(lambda v: jnp.sum(_window_mean_matmul(v, 9) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-6)

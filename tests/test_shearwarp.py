@@ -531,3 +531,61 @@ def test_warp_remap_matches_plain_layout():
     g1 = np.asarray(jax.grad(lambda t: loss(t, False, -(-w_plain // 8) * 8))(tgt))
     g2 = np.asarray(jax.grad(lambda t: loss(t, True, -(-w_remap // 8) * 8))(tgt))
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6 * np.abs(g1).max())
+
+
+@pytest.mark.parametrize("eps,k0,k1,sgnval", [
+    (1.0, 0, None, 1.0),
+    (0.25, 0, None, 1.0),
+    (1.0, 4, 12, -1.0),
+])
+def test_fused_accumulate_matches_xla(eps, k0, k1, sgnval):
+    """The Pallas fused accumulate (interpret mode) reproduces the XLA scan
+    bit-for-nearly-bit: same hat factors, same bf16 casts, same f32 MXU
+    accumulation — including static [k0, k1) slab bounds and batch padding
+    (B=5 pads to the kernel's 8-image tile)."""
+    from xvr_tpu.render.shearwarp import _accumulate, _accumulate_fused
+
+    rng = np.random.default_rng(3)
+    M, Wd, L = 16, 10, 20
+    Iu, Iv = 16, 128
+    B = 5
+    vol = jnp.asarray(rng.normal(0.5, 0.3, (M, Wd, L)).astype(np.float32)).astype(jnp.bfloat16)
+    s_p = jnp.asarray(rng.normal(0.0, 2.0, (B, 3)).astype(np.float32) + np.array([-8.0, 5.0, 10.0], np.float32))
+    sgn = jnp.full((B,), sgnval, jnp.float32)
+    u0 = jnp.asarray(rng.normal(-0.5, 0.1, B).astype(np.float32))
+    du = jnp.asarray(rng.uniform(0.02, 0.08, B).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(-0.8, 0.1, B).astype(np.float32))
+    dv = jnp.asarray(rng.uniform(0.02, 0.05, B).astype(np.float32))
+
+    kw = dict(Iu=Iu, Iv=Iv, unroll=4, eps=eps, k0=k0, k1=k1)
+    ref = np.asarray(_accumulate(vol, s_p, sgn, u0, du, v0, dv, **kw))
+    got = np.asarray(_accumulate_fused(vol, s_p, sgn, u0, du, v0, dv, interpret=True, **kw))
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("eps,k0,k1", [(1.0, 0, None), (0.25, 2, 14)])
+def test_fused_adjoint_matches_xla(eps, k0, k1):
+    """The Pallas fused adjoint (interpret mode) matches the XLA scan adjoint
+    for the source-position gradient, including slab bounds and batch pad."""
+    from xvr_tpu.render.shearwarp import _accumulate_adjoint, _accumulate_adjoint_fused
+
+    rng = np.random.default_rng(7)
+    M, Wd, L = 16, 10, 20
+    Iu, Iv = 16, 128
+    B = 5
+    vol = jnp.asarray(rng.normal(0.5, 0.3, (M, Wd, L)).astype(np.float32)).astype(jnp.bfloat16)
+    s_p = jnp.asarray(rng.normal(0.0, 2.0, (B, 3)).astype(np.float32) + np.array([-8.0, 5.0, 10.0], np.float32))
+    sgn = jnp.ones((B,), jnp.float32)
+    u0 = jnp.asarray(rng.normal(-0.5, 0.1, B).astype(np.float32))
+    du = jnp.asarray(rng.uniform(0.02, 0.08, B).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(-0.8, 0.1, B).astype(np.float32))
+    dv = jnp.asarray(rng.uniform(0.02, 0.05, B).astype(np.float32))
+    Ibar = jnp.asarray(rng.normal(0.0, 1.0, (B, Iu, Iv)).astype(np.float32))
+
+    kw = dict(Iu=Iu, Iv=Iv, unroll=4, eps=eps, k0=k0, k1=k1)
+    ref = np.asarray(_accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, **kw))
+    got = np.asarray(_accumulate_adjoint_fused(vol, s_p, sgn, u0, du, v0, dv, Ibar, interpret=True, **kw))
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-3 * scale)

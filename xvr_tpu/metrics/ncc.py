@@ -33,8 +33,41 @@ def ncc(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return cov / jnp.sqrt(jnp.clip(vx[:, 0, 0, 0] * vy[:, 0, 0, 0], eps))
 
 
+def _band_matrix(n_out: int, n_in: int, p: int, dtype) -> jnp.ndarray:
+    """(n_out, n_in) 0/1 matrix; row i sums inputs [i, i+p)."""
+    i = jnp.arange(n_out)[:, None]
+    j = jnp.arange(n_in)[None, :]
+    return ((j >= i) & (j < i + p)).astype(dtype)
+
+
 def _window_mean(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """VALID p x p box mean over (B, C, H, W) -> (B, C, H-p+1, W-p+1).
+
+    On TPU this is expressed as two banded matmuls so the sliding-window
+    sums run on the MXU (and transpose to matmuls in the backward pass)
+    instead of lowering ``lax.reduce_window`` to an 81-tap VPU reduction;
+    HIGHEST precision keeps the accumulation in f32 — the same adds as the
+    direct window sum, reassociated. On CPU the direct reduction is kept:
+    it is equally fast there and bit-stable against the historical behavior
+    (the two paths agree to ~1e-5; see test_metrics).
+    """
+    H, W = x.shape[-2:]
+    if jax.default_backend() != "tpu" or H < p or W < p:
+        return _window_mean_direct(x, p)
+    return _window_mean_matmul(x, p)
+
+
+def _window_mean_direct(x: jnp.ndarray, p: int) -> jnp.ndarray:
     s = lax.reduce_window(x, 0.0, lax.add, (1, 1, p, p), (1, 1, 1, 1), "VALID")
+    return s / (p * p)
+
+
+def _window_mean_matmul(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    H, W = x.shape[-2:]
+    ah = _band_matrix(H - p + 1, H, p, x.dtype)
+    aw = _band_matrix(W - p + 1, W, p, x.dtype)
+    s = jnp.einsum("oh,bchw->bcow", ah, x, precision=lax.Precision.HIGHEST)
+    s = jnp.einsum("bcow,pw->bcop", s, aw, precision=lax.Precision.HIGHEST)
     return s / (p * p)
 
 
@@ -47,14 +80,18 @@ def local_ncc(x: jnp.ndarray, y: jnp.ndarray, patch_size: int, eps: float = 1e-6
     landscape. Globally centering both images first keeps the means near
     zero, the variance floor keeps flat patches finite, and the final clamp
     bounds the metric (flat regions carry no gradient anyway).
+
+    The five windowed moments are stacked on the channel axis so the whole
+    moment pass is one pair of banded matmuls (see ``_window_mean``).
     """
     p = patch_size
     x = x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     y = y - jnp.mean(y, axis=(1, 2, 3), keepdims=True)
-    mx, my = _window_mean(x, p), _window_mean(y, p)
-    cov = _window_mean(x * y, p) - mx * my
-    vx = jnp.maximum(_window_mean(x * x, p) - mx * mx, 0.0)
-    vy = jnp.maximum(_window_mean(y * y, p) - my * my, 0.0)
+    stacked = jnp.concatenate([x, y, x * y, x * x, y * y], axis=1)
+    mx, my, mxy, mxx, myy = jnp.split(_window_mean(stacked, p), 5, axis=1)
+    cov = mxy - mx * my
+    vx = jnp.maximum(mxx - mx * mx, 0.0)
+    vy = jnp.maximum(myy - my * my, 0.0)
     n = cov / jnp.sqrt((vx + eps) * (vy + eps))
     n = jnp.clip(n, -1.0, 1.0)
     return jnp.mean(n, axis=(1, 2, 3))

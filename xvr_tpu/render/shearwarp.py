@@ -219,25 +219,131 @@ def _accumulate(vol, s_p, sgn, u0, du, v0, dv, *, Iu: int, Iv: int, unroll: int 
     return acc
 
 
-def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0, bounds=None):
+def _acc_kernel(params_ref, chunk_ref, out_ref, *, ku, bt, Iu, Iv, Wdp, Lp, eps, k0):
+    """Fused slope-space accumulate: one (b-tile, k-chunk) program.
+
+    Builds the per-slab hat matrices in VMEM and feeds them straight to the
+    MXU, so neither the (Iu, Wd)/(Iv, L) hat factors nor the (Iu, L) partial
+    product ever round-trip HBM (the XLA :func:`_accumulate` materializes all
+    three per slab — its runtime is operand streaming, not FLOPs). The output
+    block revisits across the inner k grid dimension and accumulates in VMEM.
+    """
+    f32 = jnp.float32
+    kbase = (k0 + pl.program_id(1) * ku).astype(f32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def slab(kk, carry):
+        kf = kbase + kk.astype(f32)
+        sl = chunk_ref[kk]  # (Wdp, Lp) bf16
+        for i in range(bt):
+            s0, s1, s2 = params_ref[i, 0], params_ref[i, 1], params_ref[i, 2]
+            sgn, u0, du = params_ref[i, 3], params_ref[i, 4], params_ref[i, 5]
+            v0, dv = params_ref[i, 6], params_ref[i, 7]
+            c = kf - s0
+            wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)
+            ii = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 0)
+            ww = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 1)
+            aw = (_hat(s1 + c * (u0 + du * ii) - ww, eps) * wk).astype(jnp.bfloat16)
+            jj = jax.lax.broadcasted_iota(f32, (Iv, Lp), 0)
+            ll = jax.lax.broadcasted_iota(f32, (Iv, Lp), 1)
+            bl = _hat(s2 + c * (v0 + dv * jj) - ll, eps).astype(jnp.bfloat16)
+            t = jax.lax.dot_general(
+                aw, sl, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            out_ref[i] += jax.lax.dot_general(
+                t.astype(jnp.bfloat16), bl, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return carry
+
+    jax.lax.fori_loop(0, ku, slab, 0)
+
+
+@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps", "k0", "k1", "bt", "interpret"))
+def _accumulate_fused(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0,
+                      k0: int = 0, k1: int | None = None, bt: int = 8, interpret=False):
+    """Pallas version of :func:`_accumulate` — same contract, same math."""
+    M, Wd, L = vol.shape
+    if k1 is None:
+        k1 = M
+    vol = jax.lax.slice_in_dim(vol, k0, k1, axis=0)
+    M = k1 - k0
+    B = s_p.shape[0]
+    ku = int(unroll)
+    nsteps = -(-M // ku)
+    Lp = -(-L // 128) * 128
+    Wdp = -(-Wd // 16) * 16
+    volp = jnp.pad(vol, ((0, nsteps * ku - M), (0, Wdp - Wd), (0, Lp - L)))
+    Bp = -(-B // bt) * bt
+    params = jnp.stack(
+        [s_p[:, 0], s_p[:, 1], s_p[:, 2], sgn, u0, du, v0, dv], axis=1
+    ).astype(jnp.float32)
+    if Bp != B:
+        params = jnp.pad(params, ((0, Bp - B), (0, 0)))
+    out = pl.pallas_call(
+        partial(_acc_kernel, ku=ku, bt=bt, Iu=Iu, Iv=Iv, Wdp=Wdp, Lp=Lp,
+                eps=float(eps), k0=int(k0)),
+        grid=(Bp // bt, nsteps),
+        in_specs=[
+            pl.BlockSpec((bt, 8), lambda b, k: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ku, Wdp, Lp), lambda b, k: (k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, Iu, Iv), lambda b, k: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, Iu, Iv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, volp)
+    return out[:B]
+
+
+# VMEM budget for the fused kernel's resident blocks (accumulator + double-
+# buffered volume chunk + hat/partial temporaries), conservatively capped.
+_FUSED_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def _fused_ok(vol_shape, Iu, Iv, unroll, bt=8):
+    M, Wd, L = vol_shape[-3:]
+    Lp = -(-L // 128) * 128
+    Wdp = -(-Wd // 16) * 16
+    resident = (
+        bt * Iu * Iv * 4  # accumulator block
+        + 2 * unroll * Wdp * Lp * 2  # double-buffered chunk
+        + Iu * Wdp * 2 + Iv * Lp * 2 + Iu * Lp * 4  # aw, bl, t temporaries
+    )
+    return Iu % 8 == 0 and Iv % 128 == 0 and resident <= _FUSED_VMEM_BUDGET
+
+
+def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0,
+                    bounds=None, interpret=False):
     """:func:`_accumulate` over a leading channel axis when ``vol`` is a
     (C, M, Wd, L) per-channel stack. Returns (B, Iu, Iv) or (C, B, Iu, Iv).
 
     Channels run as separate accumulates (not vmap): each channel takes its
     own static slab ``bounds[c]`` so compact label channels skip the slabs
     outside their bounding box entirely.
+
+    Dispatches to the fused Pallas kernel (:func:`_accumulate_fused`) when the
+    blocks fit its VMEM budget; the XLA scan is the fallback for oversized
+    grids/volumes.
     """
     kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
+    if not interpret and _fused_ok(vol.shape, Iu, Iv, unroll):
+        acc_fn = _accumulate_fused
+    else:
+        acc_fn = _accumulate
     if vol.ndim == 4:
         C, M = vol.shape[0], vol.shape[1]
         if bounds is None:
             bounds = ((0, M),) * C
         return jnp.stack([
-            _accumulate(vol[c], s_p, sgn, u0, du, v0, dv,
-                        k0=int(bounds[c][0]), k1=int(bounds[c][1]), **kw)
+            acc_fn(vol[c], s_p, sgn, u0, du, v0, dv,
+                   k0=int(bounds[c][0]), k1=int(bounds[c][1]), **kw)
             for c in range(C)
         ])
-    return _accumulate(vol, s_p, sgn, u0, du, v0, dv, **kw)
+    return acc_fn(vol, s_p, sgn, u0, du, v0, dv, **kw)
 
 
 def _warp_kernel(uc, vc, ws, table, out, *, Iu, Iv, H, window):
@@ -473,7 +579,7 @@ def _shearwarp_from_fields(
     sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))  # march direction per image
     I = _accumulate_any(
         prepared, s_scalar, sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
-        eps=eps, bounds=chan_bounds,
+        eps=eps, bounds=chan_bounds, interpret=interpret,
     )
     uc = (u - u0[:, None]) / du[:, None]
     vc = (v - v0[:, None]) / dv[:, None]
@@ -753,6 +859,122 @@ def _accumulate_adjoint(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8
     return jnp.stack([g0, g1, g2], axis=-1)
 
 
+def _adj_kernel(params_ref, chunk_ref, ibar_ref, gw_ref, gl_ref, *, ku, bt, Iu, Iv, Wdp, Lp, eps, k0):
+    """Fused adjoint accumulate: per-slab hat/hat' factors built in VMEM, the
+    four adjoint matmuls on the MXU, per-row reductions folded into two
+    1 x N matmuls (reduction + transpose in one op). Outputs the per-row
+    cotangent sums gw (bt, Iu) / gl (bt, Iv); the wrapper contracts them with
+    the slope grid to the 3-vector source adjoint."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    kbase = (k0 + pl.program_id(1) * ku).astype(f32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+        gl_ref[:] = jnp.zeros_like(gl_ref)
+
+    ones_w = jnp.ones((1, Wdp), f32)
+    ones_l = jnp.ones((1, Lp), f32)
+
+    def slab(kk, carry):
+        kf = kbase + kk.astype(f32)
+        sl = chunk_ref[kk]  # (Wdp, Lp) bf16
+        for i in range(bt):
+            s0, s1, s2 = params_ref[i, 0], params_ref[i, 1], params_ref[i, 2]
+            sgn, u0, du = params_ref[i, 3], params_ref[i, 4], params_ref[i, 5]
+            v0, dv = params_ref[i, 6], params_ref[i, 7]
+            c = kf - s0
+            wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)
+            ii = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 0)
+            ww = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 1)
+            dwu = s1 + c * (u0 + du * ii) - ww
+            h = _hat(dwu, eps).astype(bf16)
+            hp = _hat_prime(dwu, eps)
+            jj = jax.lax.broadcasted_iota(f32, (Iv, Lp), 0)
+            ll = jax.lax.broadcasted_iota(f32, (Iv, Lp), 1)
+            dlv = s2 + c * (v0 + dv * jj) - ll
+            bl = _hat(dlv, eps).astype(bf16)
+            blp = _hat_prime(dlv, eps)
+            ib = ibar_ref[i]  # (Iu, Iv) bf16
+            # dA path: GA = (Ibar @ Bl) @ S^T; gw row = wk * sum_w GA * hat'
+            r1 = jax.lax.dot_general(ib, bl, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            ga = jax.lax.dot_general(r1.astype(bf16), sl, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            gw_ref[pl.ds(i, 1), :] += wk * jax.lax.dot_general(
+                ones_w, ga * hp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            # dB path: GB = Ibar^T @ (A @ S); gl row = wk * sum_l GB * hat'
+            t2 = jax.lax.dot_general(h, sl, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            gb = jax.lax.dot_general(ib, t2.astype(bf16), (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            gl_ref[pl.ds(i, 1), :] += wk * jax.lax.dot_general(
+                ones_l, gb * blp, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+        return carry
+
+    jax.lax.fori_loop(0, ku, slab, 0)
+
+
+@partial(jax.jit, static_argnames=("Iu", "Iv", "unroll", "eps", "k0", "k1", "bt", "interpret"))
+def _accumulate_adjoint_fused(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, unroll=8,
+                              eps=1.0, k0: int = 0, k1: int | None = None, bt: int = 8,
+                              interpret=False):
+    """Pallas version of :func:`_accumulate_adjoint` — same contract/math."""
+    M, Wd, L = vol.shape
+    if k1 is None:
+        k1 = M
+    vol = jax.lax.slice_in_dim(vol, k0, k1, axis=0)
+    M = k1 - k0
+    B = s_p.shape[0]
+    ku = int(unroll)
+    nsteps = -(-M // ku)
+    Lp = -(-L // 128) * 128
+    Wdp = -(-Wd // 16) * 16
+    volp = jnp.pad(vol, ((0, nsteps * ku - M), (0, Wdp - Wd), (0, Lp - L)))
+    Bp = -(-B // bt) * bt
+    params = jnp.stack(
+        [s_p[:, 0], s_p[:, 1], s_p[:, 2], sgn, u0, du, v0, dv], axis=1
+    ).astype(jnp.float32)
+    ibar16 = Ibar.astype(jnp.bfloat16)
+    if Bp != B:
+        params = jnp.pad(params, ((0, Bp - B), (0, 0)))
+        ibar16 = jnp.pad(ibar16, ((0, Bp - B), (0, 0), (0, 0)))
+    gw, gl = pl.pallas_call(
+        partial(_adj_kernel, ku=ku, bt=bt, Iu=Iu, Iv=Iv, Wdp=Wdp, Lp=Lp,
+                eps=float(eps), k0=int(k0)),
+        grid=(Bp // bt, nsteps),
+        in_specs=[
+            pl.BlockSpec((bt, 8), lambda b, k: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ku, Wdp, Lp), lambda b, k: (k, 0, 0)),
+            pl.BlockSpec((bt, Iu, Iv), lambda b, k: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, Iu), lambda b, k: (b, 0)),
+            pl.BlockSpec((bt, Iv), lambda b, k: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Iu), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Iv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, volp, ibar16)
+    gw, gl = gw[:B], gl[:B]
+    f32 = jnp.float32
+    u = u0[:, None] + du[:, None] * jnp.arange(Iu, dtype=f32)
+    v = v0[:, None] + dv[:, None] * jnp.arange(Iv, dtype=f32)
+    g1 = jnp.sum(gw, axis=1)
+    g2 = jnp.sum(gl, axis=1)
+    g0 = -jnp.sum(gw * u, axis=1) - jnp.sum(gl * v, axis=1)
+    return jnp.stack([g0, g1, g2], axis=-1)
+
+
+def _pick_adjoint(vol_shape, Iu, Iv, unroll, interpret):
+    """Fused Pallas adjoint when the blocks fit; the XLA scan otherwise."""
+    if not interpret and _fused_ok(vol_shape, Iu, Iv, unroll):
+        return _accumulate_adjoint_fused
+    return _accumulate_adjoint
+
+
 # ---------------------------------------------------------------------------
 # Fast differentiable path: shear-warp forward + analytic adjoint backward
 # (or the slab kernel's VJP, selectable)
@@ -792,7 +1014,7 @@ def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
     sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
     I = _accumulate_any(
         prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
-        eps=eps, bounds=chan_bounds,
+        eps=eps, bounds=chan_bounds, interpret=interpret,
     )
     out = _warp_folded(
         I, uc, vc, wscale,
@@ -851,6 +1073,7 @@ def _fast_bwd(cfg, res, g):
     gwf = gf * wsf
     Ibar = _warp_transpose(gwf, ucf, vcf, grid_shape=grid_shape, det_shape=det_shape)
     adj_kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
+    adjoint = _pick_adjoint(prepared.shape, Iu, Iv, unroll, interpret)
     if channels:
 
         def csum(x):  # fold (C*B, R) partials back to per-ray sums over C
@@ -862,7 +1085,7 @@ def _fast_bwd(cfg, res, g):
         Ibar_c = Ibar.reshape(C, B, Iu, Iv)
         cb = chan_bounds if chan_bounds is not None else ((0, prepared.shape[1]),) * C
         g_s_scalar = sum(
-            _accumulate_adjoint(
+            adjoint(
                 prepared[c], s_p[:, 0, :], sgn, u0, du, v0, dv, Ibar_c[c],
                 k0=int(cb[c][0]), k1=int(cb[c][1]), **adj_kw
             )
@@ -872,7 +1095,7 @@ def _fast_bwd(cfg, res, g):
         g_ws = gf * bil
         g_uc = gwf * dWdu
         g_vc = gwf * dWdv
-        g_s_scalar = _accumulate_adjoint(
+        g_s_scalar = adjoint(
             prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Ibar, **adj_kw
         )
     g_u = g_uc / du[:, None]

@@ -49,16 +49,21 @@ def pose_regression_loss(
     per_sample = weight_ncc * (1.0 - mncc) + weight_dice * dice + weight_geo * dgeo
     loss = _weighted_mean(per_sample, keep)
 
-    # Multiview consistency: geodesic between relative poses of all kept pairs
-    B = mncc.shape[0]
-    iu, ju = jnp.triu_indices(B, k=1)
-    rel_true = RigidTransform(pose.matrix[ju] @ jnp.linalg.inv(pose.matrix[iu]))
-    rel_pred = RigidTransform(pred_pose.matrix[ju] @ jnp.linalg.inv(pred_pose.matrix[iu]))
-    *_, mvc_per_pair = double_geodesic(rel_true, rel_pred, sdd)
-    pair_w = keep[iu] * keep[ju]
-    mvc = _weighted_mean(mvc_per_pair, pair_w)
+    # Multiview consistency: geodesic between relative poses of all kept pairs.
+    # O(B^2) pairs — only built when the term carries weight (off by default).
     if weight_mvc > 0:
+        B = mncc.shape[0]
+        iu, ju = jnp.triu_indices(B, k=1)
+        inv_true = RigidTransform(pose.matrix[iu]).inverse().matrix
+        inv_pred = RigidTransform(pred_pose.matrix[iu]).inverse().matrix
+        rel_true = RigidTransform(pose.matrix[ju] @ inv_true)
+        rel_pred = RigidTransform(pred_pose.matrix[ju] @ inv_pred)
+        *_, mvc_per_pair = double_geodesic(rel_true, rel_pred, sdd)
+        pair_w = keep[iu] * keep[ju]
+        mvc = _weighted_mean(mvc_per_pair, pair_w)
         loss = loss + weight_mvc * mvc
+    else:
+        mvc = jnp.zeros(())
 
     metrics = {
         "mncc": _weighted_mean(mncc, keep),
