@@ -589,3 +589,17 @@ def test_fused_adjoint_matches_xla(eps, k0, k1):
     got = np.asarray(_accumulate_adjoint_fused(vol, s_p, sgn, u0, du, v0, dv, Ibar, interpret=True, **kw))
     scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-3 * scale)
+
+
+def test_fused_dispatch_gating():
+    """_fused_tile picks an image-tile that fits VMEM (smaller for big grids)
+    and refuses unaligned or oversized shapes (-> XLA fallback)."""
+    from xvr_tpu.render.shearwarp import _fused_tile
+
+    assert _fused_tile((256, 256, 256), 256, 256, 8) == 8
+    assert _fused_tile((4, 256, 256, 256), 256, 256, 8) == 8  # channel stack
+    assert _fused_tile((512, 512, 512), 256, 256, 8) == 8
+    assert _fused_tile((512, 512, 512), 1536, 1024, 8) == 8  # registration full-res
+    assert _fused_tile((512, 512, 512), 1536, 1536, 8) == 4  # tile shrinks to fit
+    assert _fused_tile((256, 256, 256), 250, 256, 8) is None  # Iu not sublane-aligned
+    assert _fused_tile((256, 256, 256), 256, 200, 8) is None  # Iv not lane-aligned

@@ -300,20 +300,27 @@ def _accumulate_fused(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.
 
 
 # VMEM budget for the fused kernel's resident blocks (accumulator + double-
-# buffered volume chunk + hat/partial temporaries), conservatively capped.
-_FUSED_VMEM_BUDGET = 96 * 1024 * 1024
+# buffered volume chunk + hat/partial temporaries), conservatively capped
+# well under the 128 MB/core so Mosaic keeps pipelining headroom.
+_FUSED_VMEM_BUDGET = 72 * 1024 * 1024
 
 
-def _fused_ok(vol_shape, Iu, Iv, unroll, bt=8):
+def _fused_tile(vol_shape, Iu, Iv, unroll):
+    """Largest image-tile size bt whose blocks fit the fused kernel's VMEM
+    budget, or None when the shapes are unfriendly (-> XLA fallback)."""
+    if Iu % 8 != 0 or Iv % 128 != 0:
+        return None
     M, Wd, L = vol_shape[-3:]
     Lp = -(-L // 128) * 128
     Wdp = -(-Wd // 16) * 16
-    resident = (
-        bt * Iu * Iv * 4  # accumulator block
-        + 2 * unroll * Wdp * Lp * 2  # double-buffered chunk
+    fixed = (
+        2 * unroll * Wdp * Lp * 2  # double-buffered chunk
         + Iu * Wdp * 2 + Iv * Lp * 2 + Iu * Lp * 4  # aw, bl, t temporaries
     )
-    return Iu % 8 == 0 and Iv % 128 == 0 and resident <= _FUSED_VMEM_BUDGET
+    for bt in (8, 4, 2, 1):
+        if fixed + bt * Iu * Iv * 4 <= _FUSED_VMEM_BUDGET:
+            return bt
+    return None
 
 
 def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0,
@@ -330,10 +337,8 @@ def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0,
     grids/volumes.
     """
     kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
-    if not interpret and _fused_ok(vol.shape, Iu, Iv, unroll):
-        acc_fn = _accumulate_fused
-    else:
-        acc_fn = _accumulate
+    bt = None if interpret else _fused_tile(vol.shape, Iu, Iv, unroll)
+    acc_fn = _accumulate if bt is None else partial(_accumulate_fused, bt=bt)
     if vol.ndim == 4:
         C, M = vol.shape[0], vol.shape[1]
         if bounds is None:
@@ -970,8 +975,9 @@ def _accumulate_adjoint_fused(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, un
 
 def _pick_adjoint(vol_shape, Iu, Iv, unroll, interpret):
     """Fused Pallas adjoint when the blocks fit; the XLA scan otherwise."""
-    if not interpret and _fused_ok(vol_shape, Iu, Iv, unroll):
-        return _accumulate_adjoint_fused
+    bt = None if interpret else _fused_tile(vol_shape, Iu, Iv, unroll)
+    if bt is not None:
+        return partial(_accumulate_adjoint_fused, bt=bt)
     return _accumulate_adjoint
 
 
