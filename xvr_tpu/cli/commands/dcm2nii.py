@@ -1,5 +1,11 @@
-"""`xvr dcm2nii` — convert a DICOM series/DICOMDIR to NIfTI
-(/root/reference/src/xvr/cli/commands/dcm2nii.py:6-17)."""
+"""`xvr dcm2nii` — bake a DICOM series (or DICOMDIR) into a single NIfTI.
+
+The converter behind it is our own dependency-free implementation
+(xvr_tpu/io/dcm2nii.py): it sorts slices by ImagePositionPatient along the
+stack normal, applies RescaleSlope/Intercept, and assembles the affine from
+the DICOM orientation tags. Reference surface:
+/root/reference/src/xvr/cli/commands/dcm2nii.py:6-17.
+"""
 
 from __future__ import annotations
 

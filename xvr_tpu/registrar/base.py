@@ -29,6 +29,21 @@ from ..utils.transforms import make_xray_transforms
 PLACEHOLDER = dict(height=1436, width=1436, sdd=1020.0, delx=0.194, dely=0.194)
 
 
+def clinical_defaults(kwargs: dict) -> dict:
+    """Defaults the concrete registrars flip relative to ``RegistrarBase``.
+
+    Real clinical X-rays want log-linearization, the radiologic x-axis flip,
+    and a shorter per-stage budget (the CNN/DICOM/fixed/restart seeds all
+    start close); the base class keeps the renderer-neutral raw defaults.
+    Explicitly passed values always win.
+    """
+    kwargs = dict(kwargs)
+    kwargs.setdefault("linearize", True)
+    kwargs.setdefault("n_itrs", "100")
+    kwargs.setdefault("reverse_x_axis", True)
+    return kwargs
+
+
 @dataclass
 class StageResult:
     rot: np.ndarray

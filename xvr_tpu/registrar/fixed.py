@@ -1,5 +1,10 @@
-"""Registrar initialized from a fixed user-specified pose
-(/root/reference/src/xvr/registrar/fixed.py:8-81)."""
+"""Initial pose supplied directly by the user.
+
+Useful when the acquisition geometry is known a priori (a standard AP shot,
+say) or when scripting sweeps over hand-picked starting poses. The rotation
+components are interpreted in the registrar's own parameterization/convention.
+Reference surface: /root/reference/src/xvr/registrar/fixed.py:8-81.
+"""
 
 from __future__ import annotations
 
@@ -7,47 +12,15 @@ import jax.numpy as jnp
 
 from ..geometry import convert
 from ..io.xray import read_xray
-from .base import RegistrarBase
+from .base import RegistrarBase, clinical_defaults
 
 
 class RegistrarFixed(RegistrarBase):
-    def __init__(
-        self,
-        volume,
-        mask,
-        orientation,
-        rot,
-        xyz,
-        labels=None,
-        reducefn="max",
-        crop=0,
-        subtract_background=False,
-        linearize=True,
-        equalize=False,
-        scales="8",
-        n_itrs="100",
-        reverse_x_axis=True,
-        renderer="trilinear",
-        parameterization="euler_angles",
-        convention="ZXY",
-        voxel_shift=0.0,
-        lr_rot=1e-2,
-        lr_xyz=1e0,
-        patience=10,
-        threshold=1e-4,
-        max_n_plateaus=3,
-        init_only=False,
-        saveimg=False,
-        verbose=1,
-        read_kwargs=None,
-        drr_kwargs=None,
-    ):
+    def __init__(self, volume, mask, orientation, rot, xyz, **kwargs):
         super().__init__(
-            volume, mask, orientation, labels, crop, subtract_background,
-            linearize, equalize, reducefn, scales, n_itrs, reverse_x_axis,
-            renderer, parameterization, convention, voxel_shift, lr_rot, lr_xyz,
-            patience, threshold, max_n_plateaus, init_only, saveimg, verbose,
-            read_kwargs, drr_kwargs, save_kwargs={"type": "fixed"},
+            volume, mask, orientation,
+            save_kwargs={"type": "fixed"},
+            **clinical_defaults(kwargs),
         )
         self.init_pose = convert(
             jnp.asarray([rot], dtype=jnp.float32),
@@ -57,7 +30,7 @@ class RegistrarFixed(RegistrarBase):
         )
 
     def initialize_pose(self, i2d):
-        gt, sdd, delx, dely, x0, y0, pf_to_af = read_xray(
+        xray = read_xray(
             i2d, self.crop, self.subtract_background, self.linearize, self.reducefn
         )
-        return gt, sdd, delx, dely, x0, y0, pf_to_af, self.init_pose
+        return (*xray, self.init_pose)

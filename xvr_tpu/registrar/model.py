@@ -1,6 +1,10 @@
-"""Registrar initialized by a pretrained pose-regression CNN.
+"""Initial pose predicted by a trained pose-regression CNN.
 
-Semantics of /root/reference/src/xvr/registrar/model.py:8-107.
+The flagship strategy: a single forward pass of the checkpointed PoseRegressor
+on the (intrinsics-resampled) X-ray yields the starting pose, optionally
+re-framed through an ITK/ANTs warp into patient coordinates and/or mirrored to
+its antipode to resolve the PA/AP flip ambiguity. Reference surface:
+/root/reference/src/xvr/registrar/model.py:8-107.
 """
 
 from __future__ import annotations
@@ -8,41 +12,13 @@ from __future__ import annotations
 from ..io.xray import read_xray
 from ..models.inference import construct_antipode, correct_pose, predict_pose
 from ..models.regressor import load_model
-from .base import RegistrarBase
+from .base import RegistrarBase, clinical_defaults
 
 
 class RegistrarModel(RegistrarBase):
     def __init__(
-        self,
-        volume,
-        mask,
-        ckptpath,
-        labels=None,
-        crop=0,
-        subtract_background=False,
-        linearize=True,
-        equalize=False,
-        reducefn="max",
-        warp=None,
-        invert=False,
-        antipodal=False,
-        scales="8",
-        n_itrs="100",
-        reverse_x_axis=True,
-        renderer="trilinear",
-        parameterization="euler_angles",
-        convention="ZXY",
-        voxel_shift=0.0,
-        lr_rot=1e-2,
-        lr_xyz=1e0,
-        patience=10,
-        threshold=1e-4,
-        max_n_plateaus=3,
-        init_only=False,
-        saveimg=False,
-        verbose=1,
-        read_kwargs=None,
-        drr_kwargs=None,
+        self, volume, mask, ckptpath,
+        warp=None, invert=False, antipodal=False, **kwargs,
     ):
         self.ckptpath = ckptpath
         self.model, self.params, self.config, self.date = load_model(ckptpath, meta=True)
@@ -51,11 +27,7 @@ class RegistrarModel(RegistrarBase):
         self.antipodal = antipodal
 
         super().__init__(
-            volume, mask, self.config["orientation"], labels, crop,
-            subtract_background, linearize, equalize, reducefn, scales, n_itrs,
-            reverse_x_axis, renderer, parameterization, convention, voxel_shift,
-            lr_rot, lr_xyz, patience, threshold, max_n_plateaus, init_only,
-            saveimg, verbose, read_kwargs, drr_kwargs,
+            volume, mask, self.config["orientation"],
             save_kwargs={
                 "type": "model",
                 "ckptpath": str(ckptpath),
@@ -63,6 +35,7 @@ class RegistrarModel(RegistrarBase):
                 "warp": str(warp) if warp is not None else None,
                 "invert": invert,
             },
+            **clinical_defaults(kwargs),
         )
 
     def initialize_pose(self, i2d, return_resampled: bool = False):
