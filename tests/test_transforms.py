@@ -126,3 +126,28 @@ def test_profiling_annotate_and_trace(tmp_path):
         _ = (jnp.ones((8,)) * 2).block_until_ready()
     assert any(tmp_path.rglob("*")), "profiler trace wrote nothing"
     assert maybe_trace_dir() is None or isinstance(maybe_trace_dir(), str)
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at the env-chosen dir, honors the
+    opt-out, and a jitted call writes at least one cache entry."""
+    from xvr_tpu.utils.cache import enable_compilation_cache
+
+    monkeypatch.setenv("XVR_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None
+
+    monkeypatch.delenv("XVR_NO_COMPILE_CACHE")
+    cachedir = tmp_path / "jaxcache"
+    monkeypatch.setenv("XVR_COMPILE_CACHE", str(cachedir))
+    got = enable_compilation_cache()
+    assert got == cachedir and cachedir.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cachedir)
+    # drop the persist threshold so even this trivial executable is written
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        jax.jit(lambda x: x * 2.0 + jnp.arange(16.0))(jnp.ones(16)).block_until_ready()
+        assert any(cachedir.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

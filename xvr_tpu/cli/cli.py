@@ -31,6 +31,11 @@ class OrderedGroup(click.Group):
 @click.version_option(__version__, "-v", "--version")
 def cli():
     """xvr-tpu: TPU-native 2D/3D X-ray to volume registration."""
+    from ..utils.cache import enable_compilation_cache
+
+    # Persist compiled executables across invocations: repeat registrations /
+    # training restarts at the same intrinsics skip minutes of XLA compiles.
+    enable_compilation_cache()
 
 
 @click.group(cls=OrderedGroup)

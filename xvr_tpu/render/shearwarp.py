@@ -244,11 +244,11 @@ def _acc_kernel(params_ref, chunk_ref, out_ref, *, ku, bt, Iu, Iv, Wdp, Lp, eps,
             v0, dv = params_ref[i, 6], params_ref[i, 7]
             c = kf - s0
             wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)
-            ii = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 0)
-            ww = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (Iu, Wdp), 0).astype(f32)
+            ww = jax.lax.broadcasted_iota(jnp.int32, (Iu, Wdp), 1).astype(f32)
             aw = (_hat(s1 + c * (u0 + du * ii) - ww, eps) * wk).astype(jnp.bfloat16)
-            jj = jax.lax.broadcasted_iota(f32, (Iv, Lp), 0)
-            ll = jax.lax.broadcasted_iota(f32, (Iv, Lp), 1)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (Iv, Lp), 0).astype(f32)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (Iv, Lp), 1).astype(f32)
             bl = _hat(s2 + c * (v0 + dv * jj) - ll, eps).astype(jnp.bfloat16)
             t = jax.lax.dot_general(
                 aw, sl, (((1,), (0,)), ((), ())), preferred_element_type=f32
@@ -891,13 +891,13 @@ def _adj_kernel(params_ref, chunk_ref, ibar_ref, gw_ref, gl_ref, *, ku, bt, Iu, 
             v0, dv = params_ref[i, 6], params_ref[i, 7]
             c = kf - s0
             wk = jnp.clip(sgn * c + 0.5, 0.0, 1.0)
-            ii = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 0)
-            ww = jax.lax.broadcasted_iota(f32, (Iu, Wdp), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (Iu, Wdp), 0).astype(f32)
+            ww = jax.lax.broadcasted_iota(jnp.int32, (Iu, Wdp), 1).astype(f32)
             dwu = s1 + c * (u0 + du * ii) - ww
             h = _hat(dwu, eps).astype(bf16)
             hp = _hat_prime(dwu, eps)
-            jj = jax.lax.broadcasted_iota(f32, (Iv, Lp), 0)
-            ll = jax.lax.broadcasted_iota(f32, (Iv, Lp), 1)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (Iv, Lp), 0).astype(f32)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (Iv, Lp), 1).astype(f32)
             dlv = s2 + c * (v0 + dv * jj) - ll
             bl = _hat(dlv, eps).astype(bf16)
             blp = _hat_prime(dlv, eps)

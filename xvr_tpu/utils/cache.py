@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+Every executable compiled for the tunneled TPU pays minutes of remote-compile
+latency (a cold full-budget registration spends ~145 s compiling its three
+pyramid stages; the reference has no analogous cost — CUDA kernels ship
+precompiled). The JAX persistent cache keys serialized executables by HLO, so
+a second process at the same intrinsics starts warm. Enabled automatically by
+the CLI; opt out with ``XVR_NO_COMPILE_CACHE=1`` or point ``XVR_COMPILE_CACHE``
+at a different directory.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_MIN_COMPILE_SECS = 5.0  # don't bother persisting trivial executables
+
+
+def enable_compilation_cache() -> Path | None:
+    """Turn on JAX's on-disk compilation cache. Returns the cache dir, or
+    None when disabled (env opt-out or an unwritable location)."""
+    if os.environ.get("XVR_NO_COMPILE_CACHE"):
+        return None
+    cachedir = Path(
+        os.environ.get("XVR_COMPILE_CACHE", "~/.cache/xvr_tpu/jax")
+    ).expanduser()
+    try:
+        cachedir.mkdir(parents=True, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cachedir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", _MIN_COMPILE_SECS)
+    except (OSError, AttributeError):  # read-only FS or an older jax
+        return None
+    return cachedir
