@@ -76,6 +76,11 @@ class BaseRegistrar(CategorizedCommand):
                           help="Filename glob used when an XRAY argument is a directory", category="Preprocessing"),
         CategorizedOption(["--verbose"], default=args.verbose, type=click.IntRange(0, 3),
                           help="Console chatter, 0 (silent) to 3 (per-iteration)", category="Logging"),
+        # TPU extension: X-rays sharing intrinsics optimize jointly — one
+        # batched render per iteration instead of one run per file
+        CategorizedOption(["--max_batch"], default=8, type=click.IntRange(1, 128),
+                          help="X-rays registered per batched optimization (1 = one at a time)",
+                          category="Optimizer"),
     ]
 
     def __init__(self, *a, **kw):
@@ -124,7 +129,7 @@ def model(**kw):
         warp=kw["warp"], invert=kw["invert"], antipodal=kw["antipodal"],
         **_base_kwargs(kw),
     )
-    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"], kw["max_batch"])
 
 
 @click.command(cls=BaseRegistrar)
@@ -137,7 +142,7 @@ def dicom(**kw):
     registrar = RegistrarDicom(
         kw["volume"], kw["mask"], kw["orientation"], **_base_kwargs(kw)
     )
-    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"], kw["max_batch"])
 
 
 @click.command(cls=BaseRegistrar)
@@ -155,7 +160,7 @@ def fixed(**kw):
         kw["volume"], kw["mask"], kw["orientation"],
         list(kw["rot"]), list(kw["xyz"]), **_base_kwargs(kw)
     )
-    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"], kw["max_batch"])
 
 
 @click.command(cls=BaseRegistrar)
@@ -177,11 +182,18 @@ def restart(**kw):
     registrar = RegistrarRestart(
         kw["volume"], kw["mask"], kw["orientation"], pose, **_base_kwargs(kw)
     )
-    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"])
+    run(registrar, kw["xray"], kw["pattern"], kw["verbose"], kw["outpath"], kw["max_batch"])
 
 
-def run(registrar, xray, pattern, verbose, outpath):
+def run(registrar, xray, pattern, verbose, outpath, max_batch=8):
     dcmfiles = parse_dcmfiles(xray, pattern)
+    if len(dcmfiles) > 1 and max_batch > 1:
+        # joint optimization over intrinsics-matched groups: one batched
+        # render per iteration covers up to max_batch X-rays
+        if verbose > 0:
+            print(f"\nRegistering {len(dcmfiles)} X-rays (batched) ....", flush=True)
+        registrar.register_files(dcmfiles, outpath, max_batch=max_batch)
+        return
     for i2d in dcmfiles:
         if verbose > 0:
             print(f"\nRegistering {i2d} ....", flush=True)

@@ -70,8 +70,9 @@ def _parse_scales(scales: list[str] | str, crop: int, height: int) -> list[float
 def _drift_probes(pose: RigidTransform, rot_deg: float = 15.0, t_mm: float = 30.0) -> RigidTransform:
     """Probe poses covering where the optimizer can take ``pose`` within a
     stage: camera-frame rotation corners (+-rot_deg about every axis) at
-    translation pushes of +-t_mm. Used to size the Pallas window so drift
-    during the stage cannot clip the render."""
+    translation pushes of +-t_mm, around EVERY pose in the batch. Used to
+    size the Pallas window so drift during the stage cannot clip the
+    render."""
     rots, xyzs = [], []
     for sa in (-1.0, 1.0):
         for sb in (-1.0, 1.0):
@@ -83,8 +84,9 @@ def _drift_probes(pose: RigidTransform, rot_deg: float = 15.0, t_mm: float = 30.
         jnp.asarray(rots, jnp.float32), jnp.asarray(xyzs, jnp.float32),
         "euler_angles", "ZXY", degrees=True,
     )
-    mat = pose.matrix.reshape(-1, 4, 4)[:1]
-    return RigidTransform(mat @ dev.matrix)
+    mat = pose.matrix.reshape(-1, 4, 4)
+    probes = mat[:, None] @ dev.matrix[None]
+    return RigidTransform(probes.reshape(-1, 4, 4))
 
 
 class RegistrarBase:
@@ -201,10 +203,13 @@ class RegistrarBase:
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def imagesim(x, y):
+            # per-image similarities, shape (K,) — the stage is natively
+            # batched over X-rays (renders are independent per pose, so one
+            # batched render per iteration feeds K registrations at once)
             s = beta * multiscale_ncc(x, y, (None, mncc_patch_size), (0.5, 0.5))
             if beta < 1.0:
                 s = s + (1.0 - beta) * gradient_ncc(x, y, gncc_patch_size, sigma)
-            return s[0]
+            return s
 
         use_pallas = projector.renderer == "trilinear_pallas"
         use_fast = projector.renderer.endswith("_fast")
@@ -212,9 +217,11 @@ class RegistrarBase:
         def loss_fn(rot, xyz, gt, density, packed, prepared):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
             img = projector(pose, density=density, packed=packed, prepared=prepared)
-            return imagesim(gt, transform(img))
+            sims = imagesim(gt, transform(img))
+            # summing decouples: d(sum)/d(rot[k]) touches only image k
+            return sims.sum(), sims
 
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
         @jax.jit
         def stage(rot, xyz, gt, density, lr_rot, lr_xyz):
@@ -223,17 +230,21 @@ class RegistrarBase:
             # slices forward, pair-packed table for the analytic backward)
             packed = projector.pack_for_pallas(density) if use_pallas else None
             prepared = projector.prepare_for_shearwarp(density) if use_fast else None
+            K = rot.shape[0]
+            fdt = rot.dtype
             # Adam moments
             m_r = jnp.zeros_like(rot); v_r = jnp.zeros_like(rot)
             m_x = jnp.zeros_like(xyz); v_x = jnp.zeros_like(xyz)
-            traj = jnp.zeros((n_itr, 6), rot.dtype)
-            nccs = jnp.zeros((n_itr,), rot.dtype)
-            lrs = jnp.zeros((n_itr, 2), rot.dtype)
+            traj = jnp.zeros((n_itr, K, 6), fdt)
+            nccs = jnp.zeros((n_itr, K), fdt)
+            lrs = jnp.zeros((n_itr, K, 2), fdt)
 
-            # plateau state machine (torch ReduceLROnPlateau, mode=max,
-            # factor=0.1, rel threshold + the reference's lr-drop counter
-            # initialized at +inf so the first step counts one plateau,
-            # base.py:238,270-277)
+            # per-image plateau state machine (torch ReduceLROnPlateau,
+            # mode=max, factor=0.1, rel threshold + the reference's lr-drop
+            # counter initialized at +inf so the first step counts one
+            # plateau, base.py:238,270-277). An image whose plateau budget is
+            # exhausted freezes in place; the loop runs until every image is
+            # done (or n_itr).
             state = dict(
                 itr=jnp.asarray(0),
                 rot=rot, xyz=xyz,
@@ -243,30 +254,38 @@ class RegistrarBase:
                 # the pose off a good optimum and a plateau exit then locks
                 # the damage in; keeping the argmax is strictly better)
                 b_rot=rot, b_xyz=xyz,
-                best_raw=jnp.asarray(-jnp.inf, rot.dtype),
+                best_raw=jnp.full((K,), -jnp.inf, fdt),
                 m_r=m_r, v_r=v_r, m_x=m_x, v_x=v_x,
-                lr_scale=jnp.asarray(1.0, rot.dtype),
-                best=jnp.asarray(-jnp.inf, rot.dtype),
-                num_bad=jnp.asarray(0),
-                n_plateaus=jnp.asarray(0),
-                current_lr=jnp.asarray(jnp.inf, rot.dtype),
+                lr_scale=jnp.ones((K,), fdt),
+                best=jnp.full((K,), -jnp.inf, fdt),
+                num_bad=jnp.zeros((K,), jnp.int32),
+                n_plateaus=jnp.zeros((K,), jnp.int32),
+                current_lr=jnp.full((K,), jnp.inf, fdt),
+                done_itr=jnp.full((K,), n_itr, jnp.int32),
                 traj=traj, nccs=nccs, lrs=lrs,
             )
 
             def cond(s):
-                return (s["itr"] < n_itr) & (s["n_plateaus"] < max_n_plateaus)
+                return (s["itr"] < n_itr) & jnp.any(s["n_plateaus"] < max_n_plateaus)
 
             def body(s):
                 i = s["itr"]
-                t = (i + 1).astype(rot.dtype)
-                loss, (g_r, g_x) = grad_fn(s["rot"], s["xyz"], gt, density, packed, prepared)
+                t = (i + 1).astype(fdt)
+                live = s["n_plateaus"] < max_n_plateaus  # (K,)
+                (_, loss), (g_r, g_x) = grad_fn(
+                    s["rot"], s["xyz"], gt, density, packed, prepared
+                )
 
                 def adam(p, m, v, g, lr):
                     m = b1 * m + (1 - b1) * g
                     v = b2 * v + (1 - b2) * g * g
                     mhat = m / (1 - b1**t)
                     vhat = v / (1 - b2**t)
-                    return p + lr * mhat / (jnp.sqrt(vhat) + eps), m, v  # ascent
+                    return p + lr[:, None] * mhat / (jnp.sqrt(vhat) + eps), m, v  # ascent
+
+                def frozen(new, old):
+                    keep = live.reshape((K,) + (1,) * (new.ndim - 1))
+                    return jnp.where(keep, new, old)
 
                 # Per-stage lr warmup (IMPROVEMENT over the reference):
                 # Adam's first steps with fresh moments move a full +-lr per
@@ -275,57 +294,65 @@ class RegistrarBase:
                 # first few iterations removes the kick without changing the
                 # steady-state step size.
                 warm = jnp.minimum((i + 1.0) / warmup, 1.0)
-                lr_r = lr_rot * s["lr_scale"] * warm
+                lr_r = lr_rot * s["lr_scale"] * warm  # (K,)
                 lr_x = lr_xyz * s["lr_scale"] * warm
                 rot2, m_r2, v_r2 = adam(s["rot"], s["m_r"], s["v_r"], g_r, lr_r)
                 xyz2, m_x2, v_x2 = adam(s["xyz"], s["m_x"], s["v_x"], g_x, lr_x)
+                rot2, m_r2, v_r2 = frozen(rot2, s["rot"]), frozen(m_r2, s["m_r"]), frozen(v_r2, s["v_r"])
+                xyz2, m_x2, v_x2 = frozen(xyz2, s["xyz"]), frozen(m_x2, s["m_x"]), frozen(v_x2, s["v_x"])
 
                 # argmax-pose tracking (loss is evaluated at the PRE-step pose)
-                raw_improved = loss > s["best_raw"]
+                raw_improved = (loss > s["best_raw"]) & live
                 best_raw = jnp.where(raw_improved, loss, s["best_raw"])
-                b_rot = jnp.where(raw_improved, s["rot"], s["b_rot"])
-                b_xyz = jnp.where(raw_improved, s["xyz"], s["b_xyz"])
+                b_rot = jnp.where(raw_improved[:, None], s["rot"], s["b_rot"])
+                b_xyz = jnp.where(raw_improved[:, None], s["xyz"], s["b_xyz"])
 
                 # scheduler.step(loss)
                 improved = loss > s["best"] * (1.0 + threshold)
-                best = jnp.where(improved, loss, s["best"])
-                num_bad = jnp.where(improved, 0, s["num_bad"] + 1)
-                reduce = num_bad > patience
+                best = jnp.where(improved & live, loss, s["best"])
+                num_bad = jnp.where(live, jnp.where(improved, 0, s["num_bad"] + 1), s["num_bad"])
+                reduce = (num_bad > patience) & live
                 lr_scale = jnp.where(reduce, s["lr_scale"] * 0.1, s["lr_scale"])
                 num_bad = jnp.where(reduce, 0, num_bad)
 
                 # plateau counting on observed lr drops (incl. the initial one)
                 lr_now = lr_rot * lr_scale
-                dropped = lr_now < s["current_lr"]
+                dropped = (lr_now < s["current_lr"]) & live
                 current_lr = jnp.where(dropped, lr_now, s["current_lr"])
                 n_plateaus = s["n_plateaus"] + dropped.astype(s["n_plateaus"].dtype)
+                newly_done = (n_plateaus >= max_n_plateaus) & live
+                done_itr = jnp.where(newly_done, i + 1, s["done_itr"])
 
                 # record (pose after the step, similarity before it)
                 pose2 = convert(rot2, xyz2, parameterization=parameterization, convention=convention)
                 e_rot, e_xyz = pose2.convert("euler_angles", "ZXY")
-                row = jnp.concatenate([e_rot.reshape(-1)[:3], e_xyz.reshape(-1)[:3]])
+                rows = jnp.concatenate(
+                    [e_rot.reshape(K, -1)[:, :3], e_xyz.reshape(K, -1)[:, :3]], axis=1
+                )
                 return dict(
                     itr=i + 1, rot=rot2, xyz=xyz2,
                     b_rot=b_rot, b_xyz=b_xyz, best_raw=best_raw,
                     m_r=m_r2, v_r=v_r2, m_x=m_x2, v_x=v_x2,
                     lr_scale=lr_scale, best=best, num_bad=num_bad,
                     n_plateaus=n_plateaus, current_lr=current_lr,
-                    traj=s["traj"].at[i].set(row),
+                    done_itr=done_itr,
+                    traj=s["traj"].at[i].set(rows),
                     nccs=s["nccs"].at[i].set(loss),
-                    lrs=s["lrs"].at[i].set(jnp.stack([lr_r, lr_x])),
+                    lrs=s["lrs"].at[i].set(jnp.stack([lr_r, lr_x], axis=1)),
                 )
 
             out = jax.lax.while_loop(cond, body, state)
             # the loop records PRE-step losses, so the final iterate was never
             # scored: evaluate it, and return whichever of (last, argmax) pose
-            # is actually better
-            last_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed, prepared)
+            # is actually better, per image
+            _, last_ncc = loss_fn(out["rot"], out["xyz"], gt, density, packed, prepared)
             use_last = last_ncc >= out["best_raw"]
-            rot_out = jnp.where(use_last, out["rot"], out["b_rot"])
-            xyz_out = jnp.where(use_last, out["xyz"], out["b_xyz"])
+            rot_out = jnp.where(use_last[:, None], out["rot"], out["b_rot"])
+            xyz_out = jnp.where(use_last[:, None], out["xyz"], out["b_xyz"])
             final_ncc = jnp.maximum(last_ncc, out["best_raw"])
+            n_done = jnp.minimum(out["done_itr"], out["itr"])
             return (
-                rot_out, xyz_out, out["itr"],
+                rot_out, xyz_out, n_done,
                 out["traj"], out["nccs"], out["lrs"], final_ncc,
             )
 
@@ -333,18 +360,30 @@ class RegistrarBase:
 
     # ------------------------------------------------------------------
     def run_test_time_optimization(self, gt, init_pose, scales, imagesim_cfg):
-        """Multiscale refinement (base.py:198-292 semantics).
+        """Multiscale refinement (base.py:198-292 semantics), batched over K
+        X-rays: every pyramid stage renders all K poses in ONE batched call
+        per iteration, so registering a whole fluoro sequence costs little
+        more than one image (the reference fans the same sweep out over SLURM
+        job arrays, one GPU per X-ray). Per-image plateau state; an image
+        that exhausts its plateau budget freezes while the rest continue.
 
-        -> (final_pose, params_rows, nccs, times, alphas)
+        -> (final_pose [K poses], params_rows, nccs, times, alphas — each a
+        length-K list of per-image records)
         """
         rot, xyz = init_pose.convert(self.parameterization, self.convention)
         gt = jnp.asarray(gt)
+        K = gt.shape[0]
+        assert rot.shape[0] == K, (rot.shape, gt.shape)
 
         e_rot, e_xyz = init_pose.convert("euler_angles", "ZXY")
-        params_rows = [np.concatenate([np.asarray(e_rot).reshape(-1)[:3], np.asarray(e_xyz).reshape(-1)[:3]]).tolist()]
-        nccs: list[float] = []
-        times = [0.0]
-        alphas = [[self.lr_rot, self.lr_xyz]]
+        e0 = np.concatenate(
+            [np.asarray(e_rot).reshape(K, -1)[:, :3], np.asarray(e_xyz).reshape(K, -1)[:, :3]],
+            axis=1,
+        )
+        params_rows = [[e0[k].tolist()] for k in range(K)]
+        nccs: list[list[float]] = [[] for _ in range(K)]
+        times: list[list[float]] = [[0.0] for _ in range(K)]
+        alphas = [[[self.lr_rot, self.lr_xyz]] for _ in range(K)]
 
         step_size_scalar = 1.0
         final_ncc = None
@@ -385,6 +424,7 @@ class RegistrarBase:
                 proj.pallas_window, proj.pallas_remap,
                 proj.shearwarp_window, proj.shearwarp_grid,
                 proj.shearwarp_remap, proj.shearwarp_bounds, n_itr, imagesim_cfg,
+                K,
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
@@ -401,23 +441,28 @@ class RegistrarBase:
                 stage_fn(rot, xyz, gt_stage, proj.density, lr_rot, lr_xyz)
             )
             t1 = time.perf_counter()
-            n_done = int(n_done)
+            n_done = np.asarray(n_done)  # (K,)
             rot, xyz = jnp.asarray(rot), jnp.asarray(xyz)
 
-            per_itr = (t1 - t0) / max(n_done, 1)
-            params_rows.extend(np.asarray(traj[:n_done]).tolist())
-            nccs.extend(np.asarray(stage_nccs[:n_done]).tolist())
-            times.extend([per_itr] * n_done)
-            alphas.extend(np.asarray(stage_lrs[:n_done]).tolist())
+            per_itr = (t1 - t0) / max(int(n_done.max()), 1)
+            for k in range(K):
+                nk = int(n_done[k])
+                params_rows[k].extend(np.asarray(traj[:nk, k]).tolist())
+                nccs[k].extend(np.asarray(stage_nccs[:nk, k]).tolist())
+                times[k].extend([per_itr] * nk)
+                alphas[k].extend(np.asarray(stage_lrs[:nk, k]).tolist())
             if self.verbose > 0:
+                done_str = "/".join(str(int(n)) for n in n_done)
+                ncc_str = "/".join(f"{float(v):.4f}" for v in np.asarray(final_ncc))
                 print(
-                    f"Stage {stage_idx}: {n_done}/{n_itr} itrs @ {proj.detector.height}x"
-                    f"{proj.detector.width}, ncc={float(final_ncc):.4f}, "
+                    f"Stage {stage_idx}: {done_str}/{n_itr} itrs @ {proj.detector.height}x"
+                    f"{proj.detector.width}, ncc={ncc_str}, "
                     f"{per_itr * 1e3:.1f} ms/itr",
                     flush=True,
                 )
 
-        nccs.append(float(final_ncc))
+        for k in range(K):
+            nccs[k].append(float(np.asarray(final_ncc)[k]))
         final_pose = convert(
             rot, xyz, parameterization=self.parameterization, convention=self.convention
         )
@@ -425,7 +470,35 @@ class RegistrarBase:
 
     # ------------------------------------------------------------------
     def run(self, i2d, mncc_patch_size=9, gncc_patch_size=11, sigma=0.0, beta=0.5):
-        gt, sdd, delx, dely, x0, y0, pf_to_af, init_pose = self.initialize_pose(i2d)
+        """Register ONE X-ray (= the K=1 case of :meth:`run_batch`)."""
+        return self.run_batch([i2d], mncc_patch_size, gncc_patch_size, sigma, beta)[0]
+
+    # ------------------------------------------------------------------
+    def run_batch(self, i2ds, mncc_patch_size=9, gncc_patch_size=11, sigma=0.0, beta=0.5):
+        """Register K X-rays sharing intrinsics in ONE batched optimization.
+
+        Every pyramid-stage iteration renders all K candidate poses in one
+        batched call; throughput approaches K single registrations for the
+        price of one. All X-rays must share detector shape and intrinsics
+        (true of a fluoro sequence / a dataset sweep) — a ValueError names
+        the mismatch otherwise. Returns a list of K per-image result tuples,
+        each shaped exactly like a single :meth:`run` result.
+        """
+        inits = [self.initialize_pose(i2d) for i2d in i2ds]
+        intrs = [tuple(float(v) for v in x[1:6]) for x in inits]  # sdd..y0
+        shapes = [tuple(x[0].shape[-2:]) for x in inits]
+        if len(set(intrs)) != 1 or len(set(shapes)) != 1:
+            raise ValueError(
+                "run_batch requires every X-ray to share intrinsics and shape; got "
+                f"(sdd, delx, dely, x0, y0) in {sorted(set(intrs))} and shapes {sorted(set(shapes))}"
+            )
+        sdd, delx, dely, x0, y0 = intrs[0]
+        pf_to_afs = [x[6] for x in inits]
+        gt = jnp.concatenate([jnp.asarray(x[0]) for x in inits], axis=0)  # (K,1,H,W)
+        init_pose = RigidTransform(
+            jnp.concatenate([x[7].matrix.reshape(-1, 4, 4) for x in inits], axis=0)
+        )
+        K = gt.shape[0]
         H, W = gt.shape[-2:]
         intrinsics = dict(
             sdd=sdd, height=H, width=W, delx=delx, dely=dely, x0=-x0, y0=y0
@@ -473,23 +546,72 @@ class RegistrarBase:
 
         if self.init_only:
             proj = self.projector.rescale_detector(scales[0])
-            return gt, intrinsics, proj, init_pose, None, dict(pf_to_af=pf_to_af)
+            return [
+                (gt[k : k + 1], intrinsics, proj, init_pose[k : k + 1], None,
+                 dict(pf_to_af=pf_to_afs[k]))
+                for k in range(K)
+            ]
 
         t0 = time.perf_counter()
         final_pose, params, nccs, times, alphas = self.run_test_time_optimization(
             gt, init_pose, scales, (mncc_patch_size, gncc_patch_size, sigma, beta)
         )
         runtime = time.perf_counter() - t0
-        trajectory = dict(
-            params=np.asarray(params, dtype=np.float64),
-            ncc=np.asarray(nccs, dtype=np.float64),
-            times=np.asarray(times, dtype=np.float64),
-            lrs=np.asarray(alphas, dtype=np.float64),
-        )
-        return (
-            gt, intrinsics, self.projector, init_pose, final_pose,
-            dict(pf_to_af=pf_to_af, runtime=runtime, trajectory=trajectory),
-        )
+        results = []
+        for k in range(K):
+            trajectory = dict(
+                params=np.asarray(params[k], dtype=np.float64),
+                ncc=np.asarray(nccs[k], dtype=np.float64),
+                times=np.asarray(times[k], dtype=np.float64),
+                lrs=np.asarray(alphas[k], dtype=np.float64),
+            )
+            kwargs = dict(pf_to_af=pf_to_afs[k], runtime=runtime, trajectory=trajectory)
+            if K > 1:
+                kwargs["batch_size"] = K  # wall time is shared by the batch
+            results.append(
+                (gt[k : k + 1], intrinsics, self.projector,
+                 init_pose[k : k + 1], final_pose[k : k + 1], kwargs)
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    def register_files(
+        self,
+        i2ds,
+        outpath,
+        mncc_patch_size: int = 9,
+        gncc_patch_size: int = 11,
+        sigma: float = 0.0,
+        beta: float = 0.5,
+        max_batch: int = 8,
+    ):
+        """Register many X-rays, batching runs that share intrinsics.
+
+        Files are grouped by (shape, sdd, pixel spacing, detector origin)
+        from their DICOM headers; each group runs through
+        :meth:`run_batch` in ``max_batch``-sized chunks, one result bundle
+        per X-ray (identical layout to :meth:`__call__`). Returns the list
+        of bundle directories in input order.
+        """
+        from ..io.xray import _parse_dicom
+
+        i2ds = [Path(p) for p in i2ds]
+        groups: dict[tuple, list[Path]] = {}
+        for p in i2ds:
+            img, sdd, delx, dely, x0, y0, _ = _parse_dicom(p)
+            key = (img.shape, sdd, delx, dely, x0, y0)
+            groups.setdefault(key, []).append(p)
+
+        saved = {}
+        for files in groups.values():
+            for c0 in range(0, len(files), max_batch):
+                chunk = files[c0 : c0 + max_batch]
+                results = self.run_batch(
+                    chunk, mncc_patch_size, gncc_patch_size, sigma, beta
+                )
+                for i2d, result in zip(chunk, results):
+                    saved[i2d] = self._save_result(i2d, outpath, result)
+        return [saved[p] for p in i2ds]
 
     # ------------------------------------------------------------------
     def __call__(
@@ -501,13 +623,14 @@ class RegistrarBase:
         sigma: float = 0.0,
         beta: float = 0.5,
     ):
-        i2d = Path(i2d)
-        savepath = Path(outpath) / i2d.stem
-        savepath.mkdir(parents=True, exist_ok=True)
+        result = self.run(i2d, mncc_patch_size, gncc_patch_size, sigma, beta)
+        return self._save_result(Path(i2d), outpath, result)
 
-        gt, intrinsics, proj, init_pose, final_pose, kwargs = self.run(
-            i2d, mncc_patch_size, gncc_patch_size, sigma, beta
-        )
+    # ------------------------------------------------------------------
+    def _save_result(self, i2d, outpath, result):
+        savepath = Path(outpath) / Path(i2d).stem
+        savepath.mkdir(parents=True, exist_ok=True)
+        gt, intrinsics, proj, init_pose, final_pose, kwargs = result
 
         init_img = final_img = None
         if self.saveimg:
@@ -562,6 +685,9 @@ class RegistrarBase:
         }
         if "runtime" in kwargs:
             meta["runtime"] = float(kwargs["runtime"])
+        if "batch_size" in kwargs:
+            # the wall-clock runtime above was shared by a whole batched run
+            meta["batch_size"] = int(kwargs["batch_size"])
 
         arrays = {"init_pose": np.asarray(init_pose.matrix)}
         if final_pose is not None:
