@@ -375,6 +375,9 @@ def main():
         detail["register_mtre_init_mm"] = reg_stats["mtre_init_mm"]
         detail["register_stage_compiles_cold"] = reg_stats["stage_compiles_cold"]
         detail["register_stage_compiles_total"] = reg_stats["stage_compiles_total"]
+        detail["register_batch_k"] = reg_stats["batch_k"]
+        detail["register_batch_warm_s_per_xray"] = reg_stats["batch_warm_s_per_xray"]
+        detail["register_batch_mtre_mm"] = reg_stats["batch_mtre_mm"]
     print(
         json.dumps(
             {
