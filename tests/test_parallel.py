@@ -210,3 +210,58 @@ def test_mesh_masked_channel_step(tmp_path):
 
     assert np.isfinite(m["loss"]) and np.isfinite(m["dice"])
     np.testing.assert_allclose(m["loss"], m_ref["loss"], rtol=2e-3)
+
+
+def test_mesh_batched_registration(tmp_path):
+    """Batched registration sharded over an 8-device dp mesh: rows of a
+    duplicated X-ray stay identical (per-image independence survives the
+    sharding), the padded-K path truncates, and the result matches the
+    mesh-free run's starting similarity."""
+    from xvr_tpu.io import dcmwrite
+    from xvr_tpu.io.volumes import read
+    from xvr_tpu.registrar import RegistrarFixed
+
+    volpath = _write_phantom(tmp_path)
+    vol = read(volpath)
+    proj = Projector.from_volume(vol, sdd=400.0, height=32, delx=6.0)
+    gt_pose = convert(
+        jnp.array([[183.0, -2.0, 4.0]]), jnp.array([[2.0, 200.0, -3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    img = np.asarray(proj(gt_pose))[0, 0]
+    xray = tmp_path / "xray.dcm"
+    dcmwrite(xray, (img / img.max() * 60000).astype(np.uint16),
+             sdd=400.0, row_spacing=6.0, col_spacing=6.0)
+
+    def make_reg(mesh):
+        return RegistrarFixed(
+            volume=volpath, mask=None, orientation="AP",
+            rot=[np.pi, 0.0, 0.0], xyz=[0.0, 200.0, 0.0],
+            linearize=False, scales="1", n_itrs="4",
+            reverse_x_axis=False, lr_rot=5e-3, lr_xyz=1.0,
+            max_n_plateaus=4, verbose=0, mesh=mesh,
+        )
+
+    mesh = make_mesh(8, rays=1)
+    with mesh:
+        res = make_reg(mesh).run_batch([xray] * 8, beta=1.0)
+    assert len(res) == 8
+    for r in res[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(res[0][4].matrix), np.asarray(r[4].matrix)
+        )
+        np.testing.assert_array_equal(
+            res[0][5]["trajectory"]["ncc"], r[5]["trajectory"]["ncc"]
+        )
+
+    # K=3 pads to 8 internally and truncates back
+    with mesh:
+        res3 = make_reg(mesh).run_batch([xray] * 3, beta=1.0)
+    assert len(res3) == 3
+
+    # the sharded run starts from the same similarity as the mesh-free run
+    ref = make_reg(None).run_batch([xray], beta=1.0)
+    np.testing.assert_allclose(
+        res[0][5]["trajectory"]["ncc"][0], ref[0][5]["trajectory"]["ncc"][0],
+        atol=1e-5,
+    )

@@ -81,6 +81,9 @@ class BaseRegistrar(CategorizedCommand):
         CategorizedOption(["--max_batch"], default=8, type=click.IntRange(1, 128),
                           help="X-rays registered per batched optimization (1 = one at a time)",
                           category="Optimizer"),
+        CategorizedOption(["--n_devices"], default=None, type=int,
+                          help="Shard a batched registration over this many devices (default: single)",
+                          category="Optimizer"),
     ]
 
     def __init__(self, *a, **kw):
@@ -98,7 +101,15 @@ _COMMON = (
 
 
 def _base_kwargs(kw):
+    mesh = None
+    if kw.get("n_devices") and kw["n_devices"] > 1:
+        from ...parallel.mesh import make_mesh
+
+        # pure data parallelism over the X-ray batch (rays=1: ray sharding
+        # has no meaning for the per-image registration pipeline)
+        mesh = make_mesh(kw["n_devices"], rays=1)
     return dict(
+        mesh=mesh,
         labels=kw["labels"], crop=kw["crop"],
         subtract_background=kw["subtract_background"], linearize=kw["linearize"],
         equalize=kw["equalize"], reducefn=kw["reducefn"], scales=kw["scales"],

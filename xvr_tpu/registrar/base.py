@@ -122,6 +122,7 @@ class RegistrarBase:
         drr_kwargs: dict | None = None,
         save_kwargs: dict | None = None,
         stage_warmup: int = 5,
+        mesh=None,
     ):
         self.volume = volume
         self.mask = mask
@@ -129,6 +130,10 @@ class RegistrarBase:
         self.labels = labels
         self.reverse_x_axis = reverse_x_axis
         self.renderer = renderer
+        # optional device mesh: a batched registration shards its K X-rays
+        # over every mesh axis (pure data parallelism — registration has no
+        # cross-image math); None = single device
+        self.mesh = mesh
         self.read_kwargs = read_kwargs or {}
         self.drr_kwargs = dict(drr_kwargs or {})
         self.drr_kwargs["voxel_shift"] = voxel_shift
@@ -214,9 +219,49 @@ class RegistrarBase:
         use_pallas = projector.renderer == "trilinear_pallas"
         use_fast = projector.renderer.endswith("_fast")
 
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh_axes = tuple(mesh.axis_names)
+
+            def shard_k(x):
+                # K (image) axis over EVERY mesh axis: registration is pure
+                # data parallelism, so a (dp, rays) training mesh flattens
+                spec = P(mesh_axes, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+            def sharded_fast_render(pose, density, prepared):
+                """shard_map over the flattened axes: GSPMD cannot split the
+                Pallas warp, so each device renders its pose shard whole
+                (same pattern as the trainer's _sharded_fast_render)."""
+
+                def body(pose_mat, density, prepared):
+                    src, tgt = projector.rays(RigidTransform(pose_mat))
+                    return projector.render_rays(
+                        src, tgt, density=density, prepared=prepared
+                    )
+
+                raw = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(mesh_axes), P(), P()),
+                    out_specs=P(mesh_axes),
+                    check_vma=False,  # custom_vjp inside the body
+                )(pose.matrix, density, prepared)
+                return projector.reshape_transform(raw, pose.matrix.shape[0])
+
         def loss_fn(rot, xyz, gt, density, packed, prepared):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
-            img = projector(pose, density=density, packed=packed, prepared=prepared)
+            if mesh is not None and use_fast:
+                img = sharded_fast_render(pose, density, prepared)
+            elif mesh is not None and not use_pallas:
+                # XLA renderer: sharding constraints are enough (GSPMD
+                # splits the per-image ray math); pallas slab stays
+                # replicated — the registrar prefers the shear-warp path
+                pose = RigidTransform(shard_k(pose.matrix))
+                img = projector(pose, density=density, packed=packed, prepared=prepared)
+            else:
+                img = projector(pose, density=density, packed=packed, prepared=prepared)
             sims = imagesim(gt, transform(img))
             # summing decouples: d(sum)/d(rot[k]) touches only image k
             return sims.sum(), sims
@@ -230,6 +275,10 @@ class RegistrarBase:
             # slices forward, pair-packed table for the analytic backward)
             packed = projector.pack_for_pallas(density) if use_pallas else None
             prepared = projector.prepare_for_shearwarp(density) if use_fast else None
+            if mesh is not None:
+                # shard the image axis up front; the (K,)-leaved plateau
+                # state inherits the layout through the while_loop
+                rot, xyz, gt = shard_k(rot), shard_k(xyz), shard_k(gt)
             K = rot.shape[0]
             fdt = rot.dtype
             # Adam moments
@@ -484,6 +533,14 @@ class RegistrarBase:
         the mismatch otherwise. Returns a list of K per-image result tuples,
         each shaped exactly like a single :meth:`run` result.
         """
+        n_files = len(i2ds)
+        if self.mesh is not None and n_files % self.mesh.size:
+            # pad to a full device complement (results for the repeats are
+            # computed and dropped); callers chunking by max_batch should
+            # align max_batch to the mesh size to avoid the waste
+            pad = self.mesh.size - n_files % self.mesh.size
+            i2ds = list(i2ds) + [i2ds[-1]] * pad
+
         inits = [self.initialize_pose(i2d) for i2d in i2ds]
         intrs = [tuple(float(v) for v in x[1:6]) for x in inits]  # sdd..y0
         shapes = [tuple(x[0].shape[-2:]) for x in inits]
@@ -550,7 +607,7 @@ class RegistrarBase:
                 (gt[k : k + 1], intrinsics, proj, init_pose[k : k + 1], None,
                  dict(pf_to_af=pf_to_afs[k]))
                 for k in range(K)
-            ]
+            ][:n_files]
 
         t0 = time.perf_counter()
         final_pose, params, nccs, times, alphas = self.run_test_time_optimization(
@@ -572,7 +629,7 @@ class RegistrarBase:
                 (gt[k : k + 1], intrinsics, self.projector,
                  init_pose[k : k + 1], final_pose[k : k + 1], kwargs)
             )
-        return results
+        return results[:n_files]
 
     # ------------------------------------------------------------------
     def register_files(
