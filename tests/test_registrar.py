@@ -349,3 +349,31 @@ def test_batched_matches_sequential(phantom, gt_xray, tmp_path):
         _, t_bat, d_bat = (float(np.squeeze(x)) for x in double_geodesic(gt_k, bat[0][4], SDD))
         assert t_seq < 8.0 and t_bat < 8.0, (t_seq, t_bat)
         assert abs(d_seq - d_bat) < 4.0, (d_seq, d_bat)
+
+
+def test_register_files_groups_mixed_intrinsics(phantom, gt_xray, tmp_path):
+    """Files with different detector geometry cannot share a batch: they
+    split into intrinsics groups, and every file still gets a bundle."""
+    xray_path, gt_pose = gt_xray
+    # second X-ray at half resolution / different spacing
+    vol = read(phantom / "ct.nii.gz")
+    proj = Projector.from_volume(vol, sdd=SDD, height=HEIGHT // 2, delx=2 * DELX)
+    img = np.asarray(proj(gt_pose))[0, 0]
+    small = phantom / "xray_small.dcm"
+    dcmwrite(small, (img / img.max() * 60000).astype(np.uint16),
+             sdd=SDD, row_spacing=2 * DELX, col_spacing=2 * DELX)
+
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=[np.pi, 0.0, 0.0], xyz=[0.0, 220.0, 0.0],
+        linearize=False, scales="2", n_itrs="2",
+        reverse_x_axis=False, verbose=0,
+    )
+    # mixed batch must raise when forced through run_batch directly...
+    with pytest.raises(ValueError, match="share intrinsics"):
+        reg.run_batch([xray_path, small])
+    # ...but register_files groups and completes
+    paths = reg.register_files([xray_path, small], tmp_path)
+    assert len(paths) == 2
+    for p in paths:
+        assert (p / "parameters.npz").exists()
