@@ -368,6 +368,8 @@ def main():
         detail["train_step_ms"] = train_stats["value"]
         detail["finetune_500_itrs_s"] = train_stats["finetune_500_itrs_s"]
         detail["train_renderer"] = train_stats["renderer"]
+        detail["train_masked_step_ms"] = train_stats["masked_step_ms"]
+        detail["train_masked_renderer"] = train_stats["masked_renderer"]
     if reg_stats is not None:
         detail["register_cold_s"] = reg_stats["cold_runtime_s"]
         detail["register_warm_s"] = reg_stats["warm_runtime_s"]

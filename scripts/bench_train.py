@@ -99,6 +99,45 @@ def run(n_windows: int = 3, n_steps: int = 12) -> dict:
         log(f"window {w}: {dt * 1e3:.0f} ms/step")
         best = min(best, dt)
 
+    # ---- masked (foundation) operating point: labelmap channel rendering +
+    # Dice supervision (reference finetune scripts pass --maskpath; config 5
+    # of BASELINE.json). Two bone labels; same batch/CNN budget.
+    mask = np.zeros((n, n, n), dtype=np.int16)
+    mask[n // 4 : n // 2, n // 4 : 3 * n // 4, n // 4 : 3 * n // 4] = 1
+    mask[n // 2 : 3 * n // 4, n // 4 : 3 * n // 4, n // 4 : 3 * n // 4] = 2
+    save_nifti(d / "mask.nii.gz", mask.astype(np.float32), aff)
+    trainer_m = Trainer(
+        volpath=d / "ct.nii.gz",
+        maskpath=d / "mask.nii.gz",
+        outpath=d / "out_masked",
+        alphamin=135.0, alphamax=225.0, betamin=-30.0, betamax=30.0,
+        gammamin=-15.0, gammamax=15.0,
+        txmin=-150.0, txmax=150.0, tymin=450.0, tymax=1000.0,
+        tzmin=-150.0, tzmax=150.0,
+        sdd=1020.0, height=128, delx=2.1764,
+        model_name="resnet34",
+        batch_size=116,
+        n_total_itrs=10 + n_steps,
+        n_warmup_itrs=10,
+        n_grad_accum_itrs=4,
+        n_save_every_itrs=10_000,
+        lr=1e-3,
+    )
+    t0 = time.perf_counter()
+    trainer_m.step(0)
+    _j.block_until_ready(trainer_m.params)
+    log(f"masked compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"({trainer_m.projectors[0][0].renderer})")
+    for i in range(1, 6):
+        trainer_m.step(i)
+    _j.block_until_ready(trainer_m.params)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        trainer_m.step(6 + i)
+    _j.block_until_ready(trainer_m.params)
+    masked_ms = (time.perf_counter() - t0) / n_steps * 1e3
+    log(f"masked step: {masked_ms:.0f} ms ({trainer_m.projectors[0][0].renderer})")
+
     return {
         "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
         "value": round(best * 1e3, 1),
@@ -106,6 +145,8 @@ def run(n_windows: int = 3, n_steps: int = 12) -> dict:
         "finetune_500_itrs_s": round(best * 500, 1),
         "drrs_per_sec_equiv": round(2 * 116 / best, 1),
         "renderer": trainer.projectors[0][0].renderer,
+        "masked_step_ms": round(masked_ms, 1),
+        "masked_renderer": trainer_m.projectors[0][0].renderer,
     }
 
 

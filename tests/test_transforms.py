@@ -146,7 +146,11 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     try:
-        jax.jit(lambda x: x * 2.0 + jnp.arange(16.0))(jnp.ones(16)).block_until_ready()
+        # a nonce baked into the HLO forces a FRESH compile: an identical
+        # program compiled earlier in this process would be served from the
+        # in-memory cache and never touch the disk cache
+        nonce = float(np.random.default_rng().integers(3, 1_000_000))
+        jax.jit(lambda x: x * nonce + jnp.arange(16.0))(jnp.ones(16)).block_until_ready()
         assert any(cachedir.iterdir()), "no cache entry written"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
