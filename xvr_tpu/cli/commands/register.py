@@ -92,14 +92,6 @@ class BaseRegistrar(CategorizedCommand):
         self.params.extend(self.default_params.copy())
 
 
-_COMMON = (
-    "xray volume mask outpath crop subtract_background linearize equalize "
-    "reducefn labels scales n_itrs reverse_x_axis renderer parameterization "
-    "convention voxel_shift lr_rot lr_xyz patience threshold max_n_plateaus "
-    "init_only saveimg pattern verbose"
-).split()
-
-
 def _base_kwargs(kw):
     mesh = None
     if kw.get("n_devices") and kw["n_devices"] > 1:
