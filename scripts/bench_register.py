@@ -137,6 +137,24 @@ def run() -> dict:
     gt, intrinsics, _, init_pose, final_pose, kwargs = out
     iters = len(kwargs["trajectory"]["ncc"])
 
+    # Accuracy over a SPREAD of initializations: a single trajectory with
+    # plateau-counted early exit is a high-variance observable (run-to-run
+    # reassociation noise alone moves the final mTRE by >1 mm on this
+    # phantom); the median over perturbed inits is the stable figure.
+    extra_finals = [final_pose]
+    for seed in (1, 2):
+        prng = np.random.default_rng(seed)
+        reg_i = RegistrarFixed(
+            volume=d / "ct.nii.gz", mask=None, orientation="AP",
+            rot=(np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))).tolist(),
+            xyz=(np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)).tolist(),
+            linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
+            reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
+            patience=10, max_n_plateaus=3, verbose=0,
+        )
+        reg_i._stage_cache = reg._stage_cache  # reuse compiled stages
+        extra_finals.append(reg_i.run(d / "xray.dcm")[4])
+
     def mtre(pose):
         M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
         Mi = np.linalg.inv(M)
@@ -171,6 +189,8 @@ def run() -> dict:
         "ms_per_iter_warm": round(results["warm"][1][5]["runtime"] / max(iters, 1) * 1e3, 1),
         "mtre_init_mm": round(mtre(init_pose), 3),
         "mtre_final_mm": round(mtre(final_pose), 3),
+        "mtre_final_median_mm": round(float(np.median([mtre(p) for p in extra_finals])), 3),
+        "mtre_final_worst_mm": round(float(max(mtre(p) for p in extra_finals)), 3),
         "dgeo_init_mm": round(dg_init, 2),
         "dgeo_final_mm": round(dg_fin, 2),
         "rot_final_deg": round(np.rad2deg(rg / SDD), 3),

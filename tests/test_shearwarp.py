@@ -592,14 +592,17 @@ def test_fused_adjoint_matches_xla(eps, k0, k1):
 
 
 def test_fused_dispatch_gating():
-    """_fused_tile picks an image-tile that fits VMEM (smaller for big grids)
-    and refuses unaligned or oversized shapes (-> XLA fallback)."""
+    """_fused_tile matches the tile to the (small) batch — the regime where
+    the fused kernel beats the XLA scan — and refuses large batches,
+    unaligned shapes, and VMEM-overflowing grids (-> XLA fallback)."""
     from xvr_tpu.render.shearwarp import _fused_tile
 
-    assert _fused_tile((256, 256, 256), 256, 256, 8) == 8
-    assert _fused_tile((4, 256, 256, 256), 256, 256, 8) == 8  # channel stack
-    assert _fused_tile((512, 512, 512), 256, 256, 8) == 8
-    assert _fused_tile((512, 512, 512), 1536, 1024, 8) == 8  # registration full-res
-    assert _fused_tile((512, 512, 512), 1536, 1536, 8) == 4  # tile shrinks to fit
-    assert _fused_tile((256, 256, 256), 250, 256, 8) is None  # Iu not sublane-aligned
-    assert _fused_tile((256, 256, 256), 256, 200, 8) is None  # Iv not lane-aligned
+    assert _fused_tile((256, 256, 256), 256, 256, 8, 1) == 1  # registration
+    assert _fused_tile((256, 256, 256), 256, 256, 8, 4) == 4
+    assert _fused_tile((4, 256, 256, 256), 256, 256, 8, 2) == 2  # channel stack
+    assert _fused_tile((512, 512, 512), 1536, 1024, 8, 1) == 1  # full-res stage
+    assert _fused_tile((256, 256, 256), 256, 256, 8, 8) is None  # training/render batch
+    assert _fused_tile((256, 256, 256), 256, 256, 8, 192) is None
+    assert _fused_tile((256, 256, 256), 250, 256, 8, 1) is None  # Iu not sublane-aligned
+    assert _fused_tile((256, 256, 256), 256, 200, 8, 1) is None  # Iv not lane-aligned
+    assert _fused_tile((512, 512, 512), 1536, 1536, 8, 7) is None  # VMEM overflow

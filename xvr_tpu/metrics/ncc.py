@@ -51,8 +51,14 @@ def _window_mean(x: jnp.ndarray, p: int) -> jnp.ndarray:
     it is equally fast there and bit-stable against the historical behavior
     (the two paths agree to ~1e-5; see test_metrics).
     """
+    import os
+
     H, W = x.shape[-2:]
-    if jax.default_backend() != "tpu" or H < p or W < p:
+    if (
+        jax.default_backend() != "tpu"
+        or H < p or W < p
+        or os.environ.get("XVR_NCC_DIRECT")  # A/B the reduce_window lowering
+    ):
         return _window_mean_direct(x, p)
     return _window_mean_matmul(x, p)
 

@@ -459,9 +459,12 @@ class RegistrarBase:
                     convention=self.convention,
                 )
                 probes = _drift_probes(pose_now)
-                src_p, tgt_p = proj.rays_host(probes)
+                # ray generation AND the span measurement run on device (the
+                # host NumPy version dominated warm batched registration:
+                # K x 16 probes x stage-resolution rays per stage)
+                src_p, tgt_p = proj.rays(probes)
                 warp_w = measured_warp_window(
-                    src_p, tgt_p, proj.affine_inverse_host(),
+                    src_p, tgt_p, proj.affine_inverse,
                     proj.pallas_perm,
                     (proj.detector.height, proj.detector.width),
                     proj.shearwarp_grid,

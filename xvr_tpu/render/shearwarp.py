@@ -305,10 +305,24 @@ def _accumulate_fused(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.
 _FUSED_VMEM_BUDGET = 72 * 1024 * 1024
 
 
-def _fused_tile(vol_shape, Iu, Iv, unroll):
-    """Largest image-tile size bt whose blocks fit the fused kernel's VMEM
-    budget, or None when the shapes are unfriendly (-> XLA fallback)."""
-    if Iu % 8 != 0 or Iv % 128 != 0:
+def _fused_tile(vol_shape, Iu, Iv, unroll, B):
+    """Image-tile size bt for the fused kernel, or None for the XLA fallback.
+
+    Measured dispatch rule (TPU v5e, see docs/performance.md): the fused
+    kernel wins ONLY at small pose batches — the registration regime, where
+    bt is matched to B so a single pose doesn't pay for an 8-row tile
+    (B=1: fwd 0.93 vs 1.93 ms, adj 1.06 vs 3.13 ms against the XLA scan at
+    128^2 grids). At training/render batches (B >= ~8) the XLA scan's
+    operand streaming pipelines better than the fused revisit pattern
+    (B=116: adj 13.1 vs 24.4 ms) — so large batches take the scan.
+    Mosaic also requires the SMEM param block's leading dim to divide 8 or
+    equal the array dim, which bt=B satisfies for B < 8.
+    ``XVR_NO_FUSED=1`` forces the XLA path everywhere (A/B + fallback)."""
+    import os
+
+    if os.environ.get("XVR_NO_FUSED"):
+        return None
+    if B >= 8 or Iu % 8 != 0 or Iv % 128 != 0:
         return None
     M, Wd, L = vol_shape[-3:]
     Lp = -(-L // 128) * 128
@@ -317,9 +331,9 @@ def _fused_tile(vol_shape, Iu, Iv, unroll):
         2 * unroll * Wdp * Lp * 2  # double-buffered chunk
         + Iu * Wdp * 2 + Iv * Lp * 2 + Iu * Lp * 4  # aw, bl, t temporaries
     )
-    for bt in (8, 4, 2, 1):
-        if fixed + bt * Iu * Iv * 4 <= _FUSED_VMEM_BUDGET:
-            return bt
+    bt = int(B)
+    if fixed + bt * Iu * Iv * 4 <= _FUSED_VMEM_BUDGET:
+        return bt
     return None
 
 
@@ -337,7 +351,7 @@ def _accumulate_any(vol, s_p, sgn, u0, du, v0, dv, *, Iu, Iv, unroll=8, eps=1.0,
     grids/volumes.
     """
     kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
-    bt = None if interpret else _fused_tile(vol.shape, Iu, Iv, unroll)
+    bt = None if interpret else _fused_tile(vol.shape, Iu, Iv, unroll, s_p.shape[0])
     acc_fn = _accumulate if bt is None else partial(_accumulate_fused, bt=bt)
     if vol.ndim == 4:
         C, M = vol.shape[0], vol.shape[1]
@@ -679,10 +693,60 @@ def raymarch_siddon_shearwarp(*args, eps: float = 0.25, **kwargs) -> jnp.ndarray
     return raymarch_trilinear_shearwarp(*args, eps=eps, **kwargs)
 
 
+@partial(jax.jit, static_argnames=("perm", "det_shape", "Iu", "remap"))
+def _warp_window_span(source, target, affine_inverse, *, perm, det_shape, Iu, remap):
+    """Per-tile slope-row span (grid cells) of the final warp, ON DEVICE.
+
+    The registrar re-measures windows per pyramid stage over K x 16 drift
+    probes; at full resolution that is hundreds of millions of ray
+    evaluations — host NumPy took seconds per stage and dominated warm
+    batched registration. Here the whole measurement is one tiny jitted
+    program; only the scalar span crosses back to the host.
+    """
+    Hd, Wdet = det_shape
+    A = affine_inverse
+    s = source @ A[:3, :3].T + A[:3, 3]
+    t = target @ A[:3, :3].T + A[:3, 3]
+    d = t - jnp.broadcast_to(s, t.shape)
+    march, win, lane = perm
+    d0 = jnp.where(jnp.abs(d[..., march]) < 1e-6, 1e-6, d[..., march])
+    u = d[..., win] / d0  # (B, R)
+    lo, hi = u.min(axis=1), u.max(axis=1)
+    step = jnp.maximum(hi - lo, 1e-6) / (Iu - 5)
+    uc = ((u - (lo - 2.0 * step)[:, None]) / step[:, None]).reshape(-1, Hd, Wdet)
+    if remap:
+        # simulate the barrel shear: place ray (r, c) at row r + shift[c]
+        # (shift clipped to the static pad, exactly like _warp_sheared)
+        pad = _shear_pad(det_shape)
+        shift = jnp.clip(
+            _warp_shear_shift(uc.reshape(-1, Hd * Wdet), det_shape), 0, pad
+        ).astype(jnp.int32)
+        B = uc.shape[0]
+        b_ix = jnp.arange(B)[:, None, None]
+        r_ix = jnp.arange(Hd)[None, :, None] + shift[:, None, :]
+        c_ix = jnp.broadcast_to(jnp.arange(Wdet)[None, None, :], (B, Hd, Wdet))
+        uc_s = jnp.zeros((B, Hd + pad, Wdet), uc.dtype).at[b_ix, r_ix, c_ix].set(uc)
+        vmask = jnp.zeros((B, Hd + pad, Wdet), bool).at[b_ix, r_ix, c_ix].set(True)
+        uc, Hd = uc_s, Hd + pad
+    else:
+        vmask = jnp.ones_like(uc, dtype=bool)
+    ph, pw = (-Hd) % SUB, (-Wdet) % LANE
+    if ph or pw:
+        uc = jnp.pad(uc, ((0, 0), (0, ph), (0, pw)))
+        vmask = jnp.pad(vmask, ((0, 0), (0, ph), (0, pw)))
+    nh, nw = uc.shape[1] // SUB, uc.shape[2] // LANE
+    tiles = uc.reshape(-1, nh, SUB, nw, LANE)
+    tv = vmask.reshape(-1, nh, SUB, nw, LANE)
+    big = jnp.where(tv, tiles, jnp.inf).min(axis=(2, 4))
+    small = jnp.where(tv, tiles, -jnp.inf).max(axis=(2, 4))
+    live = tv.any(axis=(2, 4))
+    return jnp.max(jnp.where(live, small - big, 0.0))
+
+
 def measured_warp_window(
-    source: np.ndarray,
-    target: np.ndarray,
-    affine_inverse: np.ndarray,
+    source,
+    target,
+    affine_inverse,
     perm: tuple[int, int, int],
     det_shape: tuple[int, int],
     grid_shape: tuple[int, int] | None = None,
@@ -690,55 +754,17 @@ def measured_warp_window(
 ) -> int:
     """EXACT per-tile slope-row span (grid cells) of the final warp for these
     rays — the ``warp_window`` needed so no tile's gather window clips.
-    Host-side NumPy, for probe poses (same contract as
-    :func:`xvr_tpu.render.pallas.measured_window_span`)."""
-    Hd, Wdet = det_shape
+    Accepts NumPy or device arrays; the measurement itself runs on device
+    (same contract as :func:`xvr_tpu.render.pallas.measured_window_span`)."""
     if grid_shape is None:
         grid_shape = default_grid_shape(det_shape)
-    Iu = grid_shape[0]
-    A = np.asarray(affine_inverse)
-    s = np.asarray(source) @ A[:3, :3].T + A[:3, 3]
-    t = np.asarray(target) @ A[:3, :3].T + A[:3, 3]
-    d = t - np.broadcast_to(s, t.shape)
-    march, win, lane = perm
-    d0 = np.where(np.abs(d[..., march]) < 1e-6, 1e-6, d[..., march])
-    u = d[..., win] / d0  # (B, R)
-    lo, hi = u.min(axis=1), u.max(axis=1)
-    step = np.maximum(hi - lo, 1e-6) / (Iu - 5)
-    uc = ((u - (lo - 2.0 * step)[:, None]) / step[:, None]).reshape(-1, Hd, Wdet)
-    if remap:
-        # simulate the barrel shear: place ray (r, c) at row r + shift[c]
-        # (shift clipped to the static pad, exactly like _warp_sheared)
-        pad = _shear_pad(det_shape)
-        shift = np.clip(
-            np.asarray(_warp_shear_shift(uc.reshape(-1, Hd * Wdet), det_shape, xp=np)),
-            0, pad,
-        )
-        B = uc.shape[0]
-        sheared = np.zeros((B, Hd + pad, Wdet), uc.dtype)
-        valid = np.zeros((B, Hd + pad, Wdet), bool)
-        b_ix = np.arange(B)[:, None, None]
-        r_ix = np.arange(Hd)[None, :, None] + shift[:, None, :]
-        c_ix = np.broadcast_to(np.arange(Wdet)[None, None, :], r_ix.shape)
-        sheared[b_ix, r_ix, c_ix] = uc
-        valid[b_ix, r_ix, c_ix] = True
-        uc, vmask = sheared, valid
-        Hd = Hd + pad
-    else:
-        vmask = np.ones_like(uc, dtype=bool)
-    span = 0.0
-    for i0 in range(0, Hd, SUB):
-        for j0 in range(0, Wdet, LANE):
-            tile = uc[:, i0 : i0 + SUB, j0 : j0 + LANE]
-            tv = vmask[:, i0 : i0 + SUB, j0 : j0 + LANE]
-            if not tv.any():
-                continue
-            big = np.where(tv, tile, np.inf).min(axis=(1, 2))
-            small = np.where(tv, tile, -np.inf).max(axis=(1, 2))
-            live = tv.any(axis=(1, 2))
-            d = np.where(live, small - big, 0.0)
-            span = max(span, float(d.max()))
-    return int(np.ceil(span)) + 3
+    span = _warp_window_span(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(affine_inverse),
+        perm=tuple(int(p) for p in perm),
+        det_shape=(int(det_shape[0]), int(det_shape[1])),
+        Iu=int(grid_shape[0]), remap=bool(remap),
+    )
+    return int(np.ceil(float(span))) + 3
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "det_shape", "row_chunk"))
@@ -973,9 +999,9 @@ def _accumulate_adjoint_fused(vol, s_p, sgn, u0, du, v0, dv, Ibar, *, Iu, Iv, un
     return jnp.stack([g0, g1, g2], axis=-1)
 
 
-def _pick_adjoint(vol_shape, Iu, Iv, unroll, interpret):
-    """Fused Pallas adjoint when the blocks fit; the XLA scan otherwise."""
-    bt = None if interpret else _fused_tile(vol_shape, Iu, Iv, unroll)
+def _pick_adjoint(vol_shape, Iu, Iv, unroll, interpret, B):
+    """Fused Pallas adjoint at small batches; the XLA scan otherwise."""
+    bt = None if interpret else _fused_tile(vol_shape, Iu, Iv, unroll, B)
     if bt is not None:
         return partial(_accumulate_adjoint_fused, bt=bt)
     return _accumulate_adjoint
@@ -1079,7 +1105,7 @@ def _fast_bwd(cfg, res, g):
     gwf = gf * wsf
     Ibar = _warp_transpose(gwf, ucf, vcf, grid_shape=grid_shape, det_shape=det_shape)
     adj_kw = dict(Iu=Iu, Iv=Iv, unroll=unroll, eps=eps)
-    adjoint = _pick_adjoint(prepared.shape, Iu, Iv, unroll, interpret)
+    adjoint = _pick_adjoint(prepared.shape, Iu, Iv, unroll, interpret, s_p.shape[0])
     if channels:
 
         def csum(x):  # fold (C*B, R) partials back to per-ray sums over C
