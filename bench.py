@@ -380,7 +380,7 @@ def main():
         detail["register_stage_compiles_total"] = reg_stats["stage_compiles_total"]
         detail["register_batch_k"] = reg_stats["batch_k"]
         detail["register_batch_warm_s_per_xray"] = reg_stats["batch_warm_s_per_xray"]
-        detail["register_batch_mtre_mm"] = reg_stats["batch_mtre_mm"]
+        detail["register_batch_mtre_median_mm"] = reg_stats["batch_mtre_median_mm"]
     print(
         json.dumps(
             {

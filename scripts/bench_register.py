@@ -137,6 +137,24 @@ def run() -> dict:
     gt, intrinsics, _, init_pose, final_pose, kwargs = out
     iters = len(kwargs["trajectory"]["ncc"])
 
+    # Two-pass refinement (the reference's own `xvr register restart`
+    # workflow): re-run the same budget seeded from the final pose. Fresh
+    # Adam moments + a fresh plateau budget recover the iterations the
+    # early-exit heuristic cut short. Warm stages are all cache hits.
+    e_rot_f, e_xyz_f = final_pose.convert("euler_angles", "ZXY")
+    reg_r = RegistrarFixed(
+        volume=d / "ct.nii.gz", mask=None, orientation="AP",
+        rot=np.asarray(e_rot_f).reshape(-1)[:3].tolist(),
+        xyz=np.asarray(e_xyz_f).reshape(-1)[:3].tolist(),
+        linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
+        reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
+        patience=10, max_n_plateaus=3, verbose=0,
+    )
+    reg_r._stage_cache = reg._stage_cache
+    t0 = time.perf_counter()
+    restart_final = reg_r.run(d / "xray.dcm")[4]
+    restart_s = time.perf_counter() - t0
+
     # Accuracy over a SPREAD of initializations: a single trajectory with
     # plateau-counted early exit is a high-variance observable (run-to-run
     # reassociation noise alone moves the final mTRE by >1 mm on this
@@ -166,20 +184,46 @@ def run() -> dict:
     _, _, dg_init = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, init_pose, SDD))
     rg, tg, dg_fin = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, final_pose, SDD))
 
-    # ---- batched registration throughput: K X-rays per optimization (the
-    # TPU answer to the reference's 1800-job SLURM sweeps). Same X-ray K
-    # times is cost-identical to K distinct intrinsics-matched X-rays; the
-    # per-image plateau states are independent (tests/test_registrar.py).
+    # ---- batched registration: K DISTINCT X-rays per optimization (the TPU
+    # answer to the reference's 1800-job SLURM sweeps). Each X-ray comes from
+    # its own ground-truth pose near the shared fixed init — the realistic
+    # sweep shape: one init strategy, per-image refinement.
     KB = 8
+    brng = np.random.default_rng(11)
+    gt_batch = []
+    for k in range(KB):
+        rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
+        xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
+        pose_k = convert(
+            jnp.asarray([rot_k], jnp.float32), jnp.asarray([xyz_k], jnp.float32),
+            "euler_angles", "ZXY",
+        )
+        gt_batch.append(pose_k)
+        img_k = np.asarray(gt_proj(pose_k))[0, 0]
+        dcmwrite(
+            d / f"xray_b{k}.dcm", (img_k / img_k.max() * 60000).astype(np.uint16),
+            sdd=SDD, row_spacing=DELX, col_spacing=DELX,
+        )
+    batch_files = [d / f"xray_b{k}.dcm" for k in range(KB)]
     t0 = time.perf_counter()
-    reg.run_batch([d / "xray.dcm"] * KB)  # pays the K=8 stage compiles
+    reg.run_batch(batch_files)  # pays the K=8 stage compiles
     batch_cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    bat = reg.run_batch([d / "xray.dcm"] * KB)
+    bat = reg.run_batch(batch_files)
     batch_warm_s = time.perf_counter() - t0
-    batch_mtre = mtre(bat[0][4])
+
+    def mtre_vs(pose, gt_p):
+        M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
+        Mi = np.linalg.inv(M)
+        Gi = np.linalg.inv(np.asarray(gt_p.matrix, np.float64)[0])
+        a = fids @ Gi[:3, :3].T + Gi[:3, 3]
+        b = fids @ Mi[:3, :3].T + Mi[:3, 3]
+        return float(np.linalg.norm(a - b, axis=-1).mean())
+
+    batch_mtres = [mtre_vs(bat[k][4], gt_batch[k]) for k in range(KB)]
+    batch_mtre = float(np.median(batch_mtres))
     log(f"batched x{KB}: warm {batch_warm_s:.1f}s ({batch_warm_s / KB:.2f} s/X-ray), "
-        f"mTRE {batch_mtre:.3f} mm")
+        f"median mTRE {batch_mtre:.3f} mm (per-image {[round(m, 2) for m in batch_mtres]})")
 
     return {
         "metric": "xvr register (scales 24,12,6 x 500, 1436^2 X-ray, 256^3 CT)",
@@ -191,6 +235,8 @@ def run() -> dict:
         "mtre_final_mm": round(mtre(final_pose), 3),
         "mtre_final_median_mm": round(float(np.median([mtre(p) for p in extra_finals])), 3),
         "mtre_final_worst_mm": round(float(max(mtre(p) for p in extra_finals)), 3),
+        "mtre_restart_mm": round(mtre(restart_final), 3),
+        "restart_s": round(restart_s, 1),
         "dgeo_init_mm": round(dg_init, 2),
         "dgeo_final_mm": round(dg_fin, 2),
         "rot_final_deg": round(np.rad2deg(rg / SDD), 3),
@@ -204,7 +250,8 @@ def run() -> dict:
         "batch_warm_s": round(batch_warm_s, 1),
         "batch_warm_s_per_xray": round(batch_warm_s / KB, 2),
         "batch_cold_s": round(batch_cold_s, 1),
-        "batch_mtre_mm": round(batch_mtre, 3),
+        "batch_mtre_median_mm": round(batch_mtre, 3),
+        "batch_mtre_worst_mm": round(max(batch_mtres), 3),
     }
 
 
