@@ -375,6 +375,7 @@ def main():
         detail["register_warm_s"] = reg_stats["warm_runtime_s"]
         detail["register_mtre_final_mm"] = reg_stats["mtre_final_mm"]
         detail["register_mtre_final_median_mm"] = reg_stats["mtre_final_median_mm"]
+        detail["register_mtre_restart_mm"] = reg_stats["mtre_restart_mm"]
         detail["register_mtre_init_mm"] = reg_stats["mtre_init_mm"]
         detail["register_stage_compiles_cold"] = reg_stats["stage_compiles_cold"]
         detail["register_stage_compiles_total"] = reg_stats["stage_compiles_total"]

@@ -76,6 +76,15 @@ def run() -> dict:
     from scipy.ndimage import gaussian_filter
 
     hu = gaussian_filter(hu, sigma=2.0).astype(np.float32)
+    # trabecular-style texture inside bone: real radiographs are texture-rich
+    # and that texture is what the gradient-NCC term locks onto; a smooth
+    # phantom under-represents achievable registration accuracy
+    prng_tex = np.random.default_rng(5)
+    tex = gaussian_filter(
+        prng_tex.normal(0.0, 1.0, hu.shape).astype(np.float32), sigma=1.2
+    )
+    tex *= 250.0 / max(tex.std(), 1e-6)
+    hu = np.where(hu > 400.0, hu + tex, hu).astype(np.float32)
     aff = np.eye(4, dtype=np.float32) * sp
     aff[3, 3] = 1.0
     aff[:3, 3] = -c * sp
@@ -152,8 +161,13 @@ def run() -> dict:
     )
     reg_r._stage_cache = reg._stage_cache
     t0 = time.perf_counter()
-    restart_final = reg_r.run(d / "xray.dcm")[4]
+    restart_out = reg_r.run(d / "xray.dcm")
     restart_s = time.perf_counter() - t0
+    # keep the restart pose only when it improved the OBJECTIVE (the user's
+    # own selection rule — ncc is observable at test time, mTRE is not)
+    ncc_first = kwargs["trajectory"]["ncc"][-1]
+    ncc_restart = restart_out[5]["trajectory"]["ncc"][-1]
+    restart_final = restart_out[4] if ncc_restart > ncc_first else final_pose
 
     # Accuracy over a SPREAD of initializations: a single trajectory with
     # plateau-counted early exit is a high-variance observable (run-to-run

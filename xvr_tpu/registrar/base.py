@@ -359,13 +359,7 @@ class RegistrarBase:
                 # scheduler.step(loss)
                 improved = loss > s["best"] * (1.0 + threshold)
                 best = jnp.where(improved & live, loss, s["best"])
-                # lr-warmup iterations don't tick the staleness counter: the
-                # ramp's tiny steps can't produce threshold-sized gains, and
-                # letting them burn patience hands the scheduler a head start
-                # toward a spurious plateau (the warmup itself is our
-                # addition — the reference has no ramp to account for)
-                ticking = live & (i + 1.0 >= warmup)
-                num_bad = jnp.where(ticking, jnp.where(improved, 0, s["num_bad"] + 1), s["num_bad"])
+                num_bad = jnp.where(live, jnp.where(improved, 0, s["num_bad"] + 1), s["num_bad"])
                 reduce = (num_bad > patience) & live
                 lr_scale = jnp.where(reduce, s["lr_scale"] * 0.1, s["lr_scale"])
                 num_bad = jnp.where(reduce, 0, num_bad)
