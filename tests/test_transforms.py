@@ -139,6 +139,11 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     monkeypatch.delenv("XVR_NO_COMPILE_CACHE")
     cachedir = tmp_path / "jaxcache"
     monkeypatch.setenv("XVR_COMPILE_CACHE", str(cachedir))
+    # JAX initializes the persistent cache once per process: an earlier test's
+    # compile (with no cache dir) pins it closed, so force re-initialization
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
     got = enable_compilation_cache()
     assert got == cachedir and cachedir.is_dir()
     assert jax.config.jax_compilation_cache_dir == str(cachedir)
