@@ -133,6 +133,36 @@ def test_registrar_init_only(phantom, gt_xray):
     assert intrinsics["x0"] == 0.0
 
 
+def test_warmup_iterations_do_not_tick_patience(phantom, gt_xray):
+    """The per-stage lr warmup must not burn ReduceLROnPlateau patience: the
+    ramp's tiny steps can't produce threshold-sized gains, so counting them
+    as 'bad' iterations hands the scheduler a head start toward a spurious
+    plateau. Pin the gate via the recorded per-iteration lrs: starting AT the
+    optimum with an unreachable improvement threshold, the first 10x lr drop
+    must come no earlier than warmup + patience iterations."""
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    warmup, patience, lr_rot = 12, 3, 5e-3
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=np.asarray(rot0)[0].tolist(), xyz=np.asarray(xyz0)[0].tolist(),
+        linearize=False, scales="2", n_itrs="30",
+        reverse_x_axis=False, verbose=0,
+        lr_rot=lr_rot, threshold=0.5, patience=patience,
+        stage_warmup=warmup, max_n_plateaus=5,
+    )
+    _, _, _, _, _, kwargs = reg.run(xray_path, beta=1.0)
+    lrs = np.asarray(kwargs["trajectory"]["lrs"])  # row 0 = initial, row i+1 = iteration i
+    warm = np.minimum((np.arange(len(lrs) - 1) + 1.0) / warmup, 1.0)
+    scale = lrs[1:, 0] / (lr_rot * warm)  # lr_scale used at each iteration
+    drops = np.flatnonzero(scale < 0.5)
+    assert drops.size, "no lr drop observed — raise n_itrs"
+    assert drops[0] >= warmup + patience, (
+        f"patience ticked during warmup: first drop at iteration {drops[0]}, "
+        f"expected >= {warmup + patience}"
+    )
+
+
 @pytest.mark.slow
 def test_registrar_call_saves_bundle(phantom, gt_xray, tmp_path):
     xray_path, gt_pose = gt_xray

@@ -32,14 +32,8 @@ def read_xray(
     return img, sdd, delx, dely, x0, y0, pf_to_af
 
 
-def _parse_dicom(filename):
-    ds = dcmread(filename)
-    arr = pixel_array(ds).astype(np.float32)
-    if arr.ndim == 2:
-        img = arr[None, None]  # (1, 1, H, W)
-    else:
-        img = arr[None, None]  # (1, 1, T, H, W)
-
+def _parse_intrinsics(ds):
+    """(sdd, delx, dely, x0, y0) from header tags alone — no pixel decode."""
     sdd = float(ds.DistanceSourceToDetector)
     spacing = ds.get("PixelSpacing", ds.get("ImagerPixelSpacing"))
     if spacing is None:
@@ -50,6 +44,30 @@ def _parse_dicom(filename):
         y0, x0 = float(origin[0]), float(origin[1])
     else:
         y0, x0 = float(origin), 0.0
+    return sdd, delx, dely, x0, y0
+
+
+def dicom_group_key(filename):
+    """Batching key for :meth:`RegistrarBase.register_files`: (pixel shape,
+    sdd, spacing, detector origin) read from DICOM header tags only — a
+    directory sweep over hundreds of full-res X-rays must not decode every
+    pixel array twice (grouping pass + registration pass)."""
+    ds = dcmread(filename)
+    frames = int(ds.get("NumberOfFrames", 1) or 1)
+    rows, cols = int(ds["Rows"]), int(ds["Columns"])
+    shape = (1, 1, frames, rows, cols) if frames > 1 else (1, 1, rows, cols)
+    return (shape, *_parse_intrinsics(ds))
+
+
+def _parse_dicom(filename):
+    ds = dcmread(filename)
+    arr = pixel_array(ds).astype(np.float32)
+    if arr.ndim == 2:
+        img = arr[None, None]  # (1, 1, H, W)
+    else:
+        img = arr[None, None]  # (1, 1, T, H, W)
+
+    sdd, delx, dely, x0, y0 = _parse_intrinsics(ds)
 
     # Reorient RAO from posterior-foot (PF) to anterior-foot (AF)
     pf_to_af = False

@@ -359,7 +359,13 @@ class RegistrarBase:
                 # scheduler.step(loss)
                 improved = loss > s["best"] * (1.0 + threshold)
                 best = jnp.where(improved & live, loss, s["best"])
-                num_bad = jnp.where(live, jnp.where(improved, 0, s["num_bad"] + 1), s["num_bad"])
+                # lr-warmup iterations don't tick the staleness counter: the
+                # ramp's tiny steps can't produce threshold-sized gains, and
+                # letting them burn patience hands the scheduler a head start
+                # toward a spurious plateau (the warmup itself is our
+                # addition — the reference has no ramp to account for)
+                ticking = live & (i + 1.0 >= warmup)
+                num_bad = jnp.where(ticking, jnp.where(improved, 0, s["num_bad"] + 1), s["num_bad"])
                 reduce = (num_bad > patience) & live
                 lr_scale = jnp.where(reduce, s["lr_scale"] * 0.1, s["lr_scale"])
                 num_bad = jnp.where(reduce, 0, num_bad)
@@ -653,14 +659,12 @@ class RegistrarBase:
         per X-ray (identical layout to :meth:`__call__`). Returns the list
         of bundle directories in input order.
         """
-        from ..io.xray import _parse_dicom
+        from ..io.xray import dicom_group_key
 
         i2ds = [Path(p) for p in i2ds]
         groups: dict[tuple, list[Path]] = {}
         for p in i2ds:
-            img, sdd, delx, dely, x0, y0, _ = _parse_dicom(p)
-            key = (img.shape, sdd, delx, dely, x0, y0)
-            groups.setdefault(key, []).append(p)
+            groups.setdefault(dicom_group_key(p), []).append(p)
 
         saved = {}
         for files in groups.values():

@@ -213,9 +213,11 @@ class Trainer:
                 if self._try_shearwarp_strata(edges):
                     upgraded_ok = True
                     break
-            if not upgraded_ok and renderer == "trilinear" and labels is None:
+            if not upgraded_ok and renderer == "trilinear":
                 self.projectors = [p[0] for p in self.projectors]
-                # steep-ray fallback: the slab-marching Pallas kernel
+                # steep-ray / labelmap fallback: the slab-marching Pallas
+                # kernel (its channel path covers masked training when the
+                # shear-warp strata upgrade declined the geometry)
                 upgraded = [
                     p.with_pallas(ref, probe_poses=probes, window=48)
                     for p in self.projectors
@@ -248,6 +250,14 @@ class Trainer:
                         f"permutation {sorted(perms)}", flush=True,
                     )
                 self.projectors = [(p,) for p in self.projectors]
+            if {p.renderer for tup in self.projectors for p in tup} <= {"trilinear", "siddon"}:
+                print(
+                    "WARNING: no TPU kernel upgrade applied — training will "
+                    "run on the XLA golden renderer (orders of magnitude "
+                    "slower). Check the pose ranges / march-axis messages "
+                    "above.",
+                    flush=True,
+                )
 
         # ---- model ----
         import os as _os2
