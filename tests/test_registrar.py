@@ -150,6 +150,7 @@ def test_warmup_iterations_do_not_tick_patience(phantom, gt_xray):
         reverse_x_axis=False, verbose=0,
         lr_rot=lr_rot, threshold=0.5, patience=patience,
         stage_warmup=warmup, max_n_plateaus=5,
+        max_restarts=0,  # restart rows would break the warm-ramp indexing below
     )
     _, _, _, _, _, kwargs = reg.run(xray_path, beta=1.0)
     lrs = np.asarray(kwargs["trajectory"]["lrs"])  # row 0 = initial, row i+1 = iteration i
@@ -290,6 +291,47 @@ def test_registrar_equalize_path(phantom, gt_xray):
     ncc = kwargs["trajectory"]["ncc"]
     assert len(ncc) >= 2 and np.isfinite(ncc).all()
     assert ncc[-1] > ncc[0]  # similarity improved under equalization
+
+
+def test_objective_gated_restart(phantom, gt_xray, tmp_path):
+    """max_restarts folds the reference's two-pass `register restart`
+    workflow into one invocation: the pyramid reruns from the final pose with
+    fresh Adam moments, and the new pose is kept per-image only when the
+    similarity improved — so the restarted run can never end on a worse
+    objective than the single-pass run, and the bundle records the setting."""
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = (np.asarray(rot0)[0] + np.deg2rad([2.0, -1.5, 1.0])).tolist()
+    xyz_init = (np.asarray(xyz0)[0] + np.array([4.0, -5.0, 3.0])).tolist()
+
+    def make_reg(max_restarts):
+        return RegistrarFixed(
+            volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+            rot=rot_init, xyz=xyz_init,
+            linearize=False, scales="2", n_itrs="40",
+            reverse_x_axis=False, lr_rot=5e-3, lr_xyz=1.0,
+            patience=3, max_n_plateaus=2,  # plateau out early on purpose
+            verbose=0, max_restarts=max_restarts,
+        )
+
+    single = make_reg(0).run(xray_path, beta=1.0)
+    restarted = make_reg(1).run(xray_path, beta=1.0)
+    ncc_single = single[5]["trajectory"]["ncc"][-1]
+    ncc_restart = restarted[5]["trajectory"]["ncc"][-1]
+    assert ncc_restart >= ncc_single - 1e-9, (ncc_restart, ncc_single)
+    # pass 1 of both runs is identical, so a kept restart strictly extends
+    # the trajectory; a discarded one leaves it untouched
+    n_single = len(single[5]["trajectory"]["ncc"])
+    n_restart = len(restarted[5]["trajectory"]["ncc"])
+    assert n_restart >= n_single
+    if n_restart > n_single:
+        assert ncc_restart > ncc_single
+
+    outdir = make_reg(1)(xray_path, tmp_path / "restart_bundle")
+    import json
+
+    meta = json.loads((outdir / "parameters.json").read_text())
+    assert meta["optimization"]["max_restarts"] == 1
 
 
 def test_run_batch_shapes_and_bundles(phantom, gt_xray, tmp_path):

@@ -67,6 +67,12 @@ class BaseRegistrar(CategorizedCommand):
         CategorizedOption(["--max_n_plateaus"], default=args.max_n_plateaus, type=int,
                           help="Step-size cuts allowed before a stage exits early",
                           category="Optimizer"),
+        # TPU extension: the engine folds the reference's two-pass `register
+        # restart` workflow into one invocation — rerun the pyramid from the
+        # final pose and keep the result only where the similarity improved
+        CategorizedOption(["--max_restarts"], default=args.max_restarts, type=int,
+                          help="Objective-gated pyramid re-anneals after the first pass (0 = single pass)",
+                          category="Optimizer"),
         CategorizedOption(["--init_only"], default=args.init_only, is_flag=True,
                           help="Skip refinement entirely; report the initialization",
                           category="Logging"),
@@ -110,6 +116,7 @@ def _base_kwargs(kw):
         convention=kw["convention"], voxel_shift=kw["voxel_shift"],
         lr_rot=kw["lr_rot"], lr_xyz=kw["lr_xyz"], patience=kw["patience"],
         threshold=kw["threshold"], max_n_plateaus=kw["max_n_plateaus"],
+        max_restarts=kw["max_restarts"],
         init_only=kw["init_only"], saveimg=kw["saveimg"], verbose=kw["verbose"],
     )
 

@@ -115,6 +115,7 @@ class RegistrarBase:
         patience: int = 10,
         threshold: float = 1e-4,
         max_n_plateaus: int = 3,
+        max_restarts: int = 1,
         init_only: bool = False,
         saveimg: bool = False,
         verbose: int = 1,
@@ -156,6 +157,7 @@ class RegistrarBase:
         self.patience = patience
         self.threshold = threshold
         self.max_n_plateaus = max_n_plateaus
+        self.max_restarts = max_restarts
 
         self.init_only = init_only
         self.saveimg = saveimg
@@ -619,9 +621,46 @@ class RegistrarBase:
             ][:n_files]
 
         t0 = time.perf_counter()
+        imagesim_cfg = (mncc_patch_size, gncc_patch_size, sigma, beta)
         final_pose, params, nccs, times, alphas = self.run_test_time_optimization(
-            gt, init_pose, scales, (mncc_patch_size, gncc_patch_size, sigma, beta)
+            gt, init_pose, scales, imagesim_cfg
         )
+
+        # Objective-gated re-anneal: rerun the pyramid seeded from the final
+        # pose with fresh Adam moments and a fresh plateau budget, keeping
+        # the new pose per-image only when the measured similarity improved.
+        # Plateau-counted early exit is a high-variance stopping rule (the
+        # reference inherits the same noise, and exposes `register restart`
+        # as a manual second pass); folding the pass in makes one invocation
+        # reach what the two-pass workflow reaches. Stage executables are all
+        # cache hits here, so each pass costs iteration time only.
+        for restart_idx in range(self.max_restarts):
+            prev_ncc = np.asarray([nccs[k][-1] for k in range(K)])
+            r_pose, r_params, r_nccs, r_times, r_alphas = (
+                self.run_test_time_optimization(gt, final_pose, scales, imagesim_cfg)
+            )
+            new_ncc = np.asarray([r_nccs[k][-1] for k in range(K)])
+            improved = new_ncc > prev_ncc
+            if improved.any():
+                mats = np.asarray(final_pose.matrix).reshape(K, 4, 4).copy()
+                r_mats = np.asarray(r_pose.matrix).reshape(K, 4, 4)
+                mats[improved] = r_mats[improved]
+                final_pose = RigidTransform(jnp.asarray(mats))
+                for k in np.flatnonzero(improved):
+                    params[k].extend(r_params[k])
+                    nccs[k].extend(r_nccs[k])
+                    times[k].extend(r_times[k])
+                    alphas[k].extend(r_alphas[k])
+            if self.verbose > 0:
+                print(
+                    f"Restart pass {restart_idx + 1}: improved "
+                    f"{int(improved.sum())}/{K} images",
+                    flush=True,
+                )
+            # stop re-annealing once a pass moves no image's objective by
+            # more than the scheduler's own progress threshold
+            if not (new_ncc > prev_ncc * (1.0 + self.threshold)).any():
+                break
         runtime = time.perf_counter() - t0
         results = []
         for k in range(K):
@@ -743,6 +782,7 @@ class RegistrarBase:
                 "lr_xyz": self.lr_xyz,
                 "patience": self.patience,
                 "max_n_plateaus": self.max_n_plateaus,
+                "max_restarts": self.max_restarts,
             },
             **{k: v for k, v in self.save_kwargs.items()},
             "pf_to_af": bool(kwargs.get("pf_to_af", False)),
