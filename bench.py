@@ -2,29 +2,65 @@
 
 Measures the BASELINE.json north-star configs: trilinear and Siddon renders
 with batched random-pose sampling at 256^2 detector resolution against a
-256^3 CT volume. Prints ONE JSON line: {"metric", "value", "unit",
-"vs_baseline", "detail"} where value is the trilinear DRRs/sec/chip via the
-framework's fast path (the shear-warp MXU renderer — pose sampling, ray
-generation, slope-space matmul accumulation, and the detector warp all in one
-jitted executable) and vs_baseline is value / 5000 (the BASELINE.json
-target). The detail records the slab-marching Pallas kernel (the analytic-
-gradient path) and the exact Siddon kernel.
+256^3 CT volume, plus end-to-end train-step and registration figures at the
+reference operating points.
+
+Output protocol (driver contract): stdout carries ONLY JSON lines of the form
+{"metric", "value", "unit", "vs_baseline", "detail"}. The headline line is
+printed as soon as the core shear-warp figure exists; after every additional
+section completes the line is RE-printed with the enriched detail — the last
+parseable line wins. A wall-clock budget (``XVR_BENCH_BUDGET`` seconds,
+default 450) gates each optional section: sections that don't fit are skipped
+and recorded in detail["skipped"] with detail["truncated"] = true, so the run
+always exits 0 with a parseable line well inside the driver's timeout.
+
+Section costs are self-calibrating: measured durations are persisted to
+``~/.cache/xvr_tpu/bench_costs.json`` and reused as the estimate on the next
+run (the persistent XLA compilation cache makes warm reruns far cheaper than
+cold ones, so static cold estimates would over-skip).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+T_START = time.perf_counter()
+BUDGET = float(os.environ.get("XVR_BENCH_BUDGET", "450"))
+COSTS_PATH = Path(
+    os.environ.get("XVR_BENCH_COSTS", "~/.cache/xvr_tpu/bench_costs.json")
+).expanduser()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def wait_for_healthy_device(attempts: int = 6, probe_timeout: int = 240) -> bool:
+def elapsed() -> float:
+    return time.perf_counter() - T_START
+
+
+def load_costs() -> dict:
+    try:
+        return json.loads(COSTS_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def save_costs(costs: dict) -> None:
+    try:
+        COSTS_PATH.parent.mkdir(parents=True, exist_ok=True)
+        COSTS_PATH.write_text(json.dumps(costs))
+    except OSError:
+        pass
+
+
+def wait_for_healthy_device(attempts: int = 4, probe_timeout: int = 180) -> bool:
     """Confirm the accelerator answers before this process touches it.
 
     The tunneled TPU client can wedge indefinitely on its first device op
@@ -52,7 +88,7 @@ def wait_for_healthy_device(attempts: int = 6, probe_timeout: int = 240) -> bool
             log(f"device probe failed (attempt {i + 1}): rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"device probe timed out after {probe_timeout}s (attempt {i + 1})")
-        _t.sleep(45)
+        _t.sleep(30)
     return False
 
 
@@ -64,18 +100,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from xvr_tpu.geometry import Detector
-    from xvr_tpu.render.pallas import raymarch_siddon_pallas, raymarch_trilinear_pallas
+    from xvr_tpu.geometry import Detector, convert
     from xvr_tpu.render.volume import Volume, transform_hu_to_density
     from xvr_tpu.train.sampler import get_random_pose
+    from xvr_tpu.utils.cache import enable_compilation_cache
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
+    cachedir = enable_compilation_cache()
+    log(f"device: {jax.devices()[0]}; compile cache: {cachedir}; "
+        f"budget: {BUDGET:.0f}s")
 
     N = 256  # volume resolution
     H = 256  # detector resolution
-    B = 16  # poses per call
-    S = 256  # trilinear samples per ray
+    target = 5000.0
 
     rng = np.random.default_rng(0)
     hu = rng.uniform(-1000.0, 1500.0, size=(N, N, N)).astype(np.float32)
@@ -96,19 +132,7 @@ def main():
         tymin=500.0, tymax=800.0, tzmin=-30.0, tzmax=30.0,
     )
 
-    from xvr_tpu.render.pallas import (
-        choose_permutation_for_pose,
-        measured_window_span,
-        pack_density,
-    )
-
-    perm = choose_permutation_for_pose(np.eye(3), np.asarray(affinv))
-    packed = pack_density(density, perm)  # once per volume
-    jax.block_until_ready(packed[0])
-
-    # EXACT windows for the pose distribution (corner poses), per ray layout;
-    # an undersized window silently clips, so the bench must use measured
-    # values, not guesses
+    # corner poses of the distribution, for measuring exact march windows
     corners = [
         [a, b, g]
         for a in (ranges["alphamin"], ranges["alphamax"])
@@ -121,48 +145,31 @@ def main():
         [ranges["txmin"], ranges["tymax"], ranges["tzmax"]],
         [ranges["txmax"], ranges["tymax"], ranges["tzmin"]],
     ]
-    from xvr_tpu.geometry import convert
-
     probe = convert(
         np.asarray([r for r in corners for _ in t_corners], np.float32),
         np.asarray(t_corners * len(corners), np.float32),
         "euler_angles", "ZXY", degrees=True,
     )
     psrc, ptgt = det.rays(probe)
-    vol_shape = tuple(int(density.shape[a]) for a in perm)
-    margs = (np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm, (H, H), vol_shape)
-    span_det = measured_window_span(*margs)
-    span_remap = measured_window_span(*margs, remap=True)
-    w_det = int(-(-span_det // 8) * 8)
-    w_remap = int(-(-span_remap // 8) * 8)
-    remap = w_remap + 8 < w_det
-    window = w_remap if remap else w_det
-    log(f"measured windows: detector-tiles {w_det}, sorted-remap {w_remap} -> "
-        f"remap={remap}, window={window}")
 
-    table, vshape = packed
+    from xvr_tpu.render.pallas import choose_permutation_for_pose
+    from xvr_tpu.render.shearwarp import (
+        measured_warp_window,
+        prepare_shearwarp,
+        raymarch_siddon_shearwarp,
+        raymarch_trilinear_shearwarp,
+    )
 
-    @jax.jit
-    def render_trilinear(density, table, key):
-        # Pallas fast path (slab-marching kernel, volume resident in VMEM);
-        # the pose sampling + ray generation fuse into the same executable.
-        # The packed table rides as an ARGUMENT — a closure capture would
-        # embed it as a constant in the compile payload.
-        pose = get_random_pose(key, batch_size=B, **ranges)
-        src, tgt = det.rays(pose)
-        return raymarch_trilinear_pallas(
-            density, affinv, src, tgt, window=window, perm=perm,
-            packed=(table, vshape), remap=remap,
-        )
-
-    @jax.jit
-    def render_siddon(density, table, key):
-        pose = get_random_pose(key, batch_size=B, **ranges)
-        src, tgt = det.rays(pose)
-        return raymarch_siddon_pallas(
-            density, affinv, src, tgt, window=window + 8, perm=perm,
-            packed=(table, vshape), remap=remap,
-        )
+    perm = choose_permutation_for_pose(np.eye(3), np.asarray(affinv))
+    B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
+    # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
+    prepared = prepare_shearwarp(density, perm)
+    jax.block_until_ready(prepared)
+    ww = measured_warp_window(
+        np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm, (H, H)
+    )
+    ww = int(-(-ww // 8) * 8)
+    log(f"measured warp window: {ww}")
 
     def timed_windows(run_one, batch, name, n_windows, n_iter):
         """Best-window throughput: a fresh executable on the tunneled chip
@@ -181,32 +188,7 @@ def main():
                 f"({dt / n_iter * 1e3:.1f} ms / {batch}-batch)")
         return best
 
-    def bench(fn, name, n_windows=3, n_iter=12):
-        key = jax.random.PRNGKey(0)
-        t0 = time.perf_counter()
-        fn(density, table, key).block_until_ready()
-        log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
-        return timed_windows(
-            lambda k: fn(density, table, k), B, name, n_windows, n_iter
-        )
-
-    # --- shear-warp MXU fast path (the framework's throughput renderer) ----
-    from xvr_tpu.render.shearwarp import (
-        measured_warp_window,
-        prepare_shearwarp,
-        raymarch_trilinear_shearwarp,
-    )
-
-    B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
-    # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
-    prepared = prepare_shearwarp(density, perm)
-    jax.block_until_ready(prepared)
-    ww = measured_warp_window(
-        np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm, (H, H)
-    )
-    ww = int(-(-ww // 8) * 8)
-    log(f"measured warp window: {ww}")
-
+    # ---- headline: shear-warp MXU trilinear (always runs, emitted first) --
     @jax.jit
     def render_shearwarp(prepared, key):
         pose = get_random_pose(key, batch_size=B_SW, **ranges)
@@ -224,175 +206,300 @@ def main():
         n_windows=6, n_iter=15,
     )
 
-    # --- Siddon-flavored shear-warp (the framework's fast `--renderer
-    # siddon` path: trapezoid profile at small eps; see render/shearwarp.py)
-    from xvr_tpu.render.shearwarp import raymarch_siddon_shearwarp
-
-    @jax.jit
-    def render_siddon_fast(prepared, key):
-        pose = get_random_pose(key, batch_size=B_SW, **ranges)
-        src, tgt = det.rays(pose)
-        return raymarch_siddon_shearwarp(
-            density, affinv, src, tgt, perm=perm, prepared=prepared,
-            warp_window=ww, unroll=64,
-        )
-
-    t0 = time.perf_counter()
-    render_siddon_fast(prepared, jax.random.PRNGKey(0)).block_until_ready()
-    log(f"siddon_fast 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
-    sid_fast = timed_windows(
-        lambda k: render_siddon_fast(prepared, k), B_SW, "siddon_fast 256^2",
-        n_windows=4, n_iter=15,
-    )
-
-    # --- labelmap (channel) rendering: masked foundation-training config.
-    # Two bone labels -> 3 output channels; per-channel masked volumes fold
-    # into the MXU accumulate (VERDICT r1 #4: no slab fallback for masks).
-    from xvr_tpu.render.shearwarp import channel_slab_bounds
-
-    mask = np.zeros((N, N, N), dtype=np.int32)
-    mask[N // 4 : N // 2, N // 4 : 3 * N // 4, N // 4 : 3 * N // 4] = 1
-    mask[N // 2 : 3 * N // 4, N // 4 : 3 * N // 4, N // 4 : 3 * N // 4] = 2
-    labels = (1, 2)
-    prepared_ch = prepare_shearwarp(
-        density, perm, mask=jnp.asarray(mask), labels=labels
-    )
-    jax.block_until_ready(prepared_ch)
-    # static per-label march bounds (labels span 50% of slabs here; anatomical
-    # labels are usually tighter) — what Projector.with_shearwarp measures
-    ch_bounds = channel_slab_bounds(jnp.asarray(mask), labels, perm)
-
-    @jax.jit
-    def render_channels(prepared_ch, key):
-        pose = get_random_pose(key, batch_size=B_SW, **ranges)
-        src, tgt = det.rays(pose)
-        return raymarch_trilinear_shearwarp(
-            density, affinv, src, tgt, perm=perm, prepared=prepared_ch,
-            warp_window=ww, unroll=64, mask=jnp.asarray(mask), labels=labels,
-            chan_bounds=ch_bounds,
-        )
-
-    t0 = time.perf_counter()
-    out0 = render_channels(prepared_ch, jax.random.PRNGKey(0))
-    out0.block_until_ready()
-    assert out0.shape[1] == len(labels) + 1, out0.shape
-    log(f"channels 256^2 (2 labels): compile+first run {time.perf_counter() - t0:.1f}s")
-    ch = timed_windows(
-        lambda k: render_channels(prepared_ch, k), B_SW, "channels 256^2",
-        n_windows=3, n_iter=12,
-    )
-
-    # --- full DeepFluoro-scale volume: 512^3 (537 MB packed table in HBM)
-    N2 = 512
-    hu512 = rng.uniform(-1000.0, 1500.0, size=(N2, N2, N2)).astype(np.float32)
-    sp512 = 0.75
-    aff512 = np.eye(4, dtype=np.float32) * sp512
-    aff512[3, 3] = 1.0
-    aff512[:3, 3] = -(N2 - 1) / 2.0 * sp512
-    vol512 = Volume(data=jnp.asarray(hu512), affine=jnp.asarray(aff512))
-    density512 = transform_hu_to_density(vol512.data, 2.0)
-    affinv512 = vol512.affine_inverse
-    prepared512 = prepare_shearwarp(density512, perm)
-    jax.block_until_ready(prepared512)
-    ww512 = measured_warp_window(
-        np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv512), perm, (H, H)
-    )
-    ww512 = int(-(-ww512 // 8) * 8)
-    B512 = 64
-
-    @jax.jit
-    def render_512(prepared512, key):
-        pose = get_random_pose(key, batch_size=B512, **ranges)
-        src, tgt = det.rays(pose)
-        return raymarch_trilinear_shearwarp(
-            density512, affinv512, src, tgt, perm=perm, prepared=prepared512,
-            warp_window=ww512, unroll=64,
-        )
-
-    t0 = time.perf_counter()
-    render_512(prepared512, jax.random.PRNGKey(0)).block_until_ready()
-    log(f"shearwarp 512^3: compile+first run {time.perf_counter() - t0:.1f}s")
-    sw512 = timed_windows(
-        lambda k: render_512(prepared512, k), B512, "shearwarp 512^3",
-        n_windows=3, n_iter=8,
-    )
-    del prepared512, density512, vol512, hu512
-
-    tri = bench(render_trilinear, "slab trilinear 256^2")
-    sid = bench(render_siddon, "siddon exact 256^2")
-
-    # --- end-to-end figures: train-step ms at the reference finetune
-    # operating point and cold/warm registration at the reference budget
-    # (VERDICT r1 #7/#10: these used to be self-reported in docs only)
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent / "scripts"))
-    from contextlib import redirect_stdout
-
-    train_stats = reg_stats = None
-    try:
-        import bench_train
-
-        # trainer/registrar progress prints go to stderr: stdout must stay
-        # ONE JSON line for the driver
-        with redirect_stdout(sys.stderr):
-            train_stats = bench_train.run(n_windows=2, n_steps=10)
-        log(f"train step: {train_stats['value']} ms")
-    except Exception as e:  # pragma: no cover - keep the headline line alive
-        log(f"bench_train failed: {type(e).__name__}: {e}")
-    try:
-        import bench_register
-
-        with redirect_stdout(sys.stderr):
-            reg_stats = bench_register.run()
-        log(f"register warm: {reg_stats['warm_runtime_s']} s, "
-            f"mTRE {reg_stats['mtre_final_mm']} mm")
-    except Exception as e:  # pragma: no cover
-        log(f"bench_register failed: {type(e).__name__}: {e}")
-
-    target = 5000.0
     detail = {
-        "siddon_fast_drrs_per_sec": round(sid_fast, 1),
-        "siddon_fast_vs_baseline": round(sid_fast / target, 4),
-        "labelmap_channels_drrs_per_sec": round(ch, 1),
-        "shearwarp_512cube_drrs_per_sec": round(sw512, 1),
-        "slab_trilinear_drrs_per_sec": round(tri, 1),
-        "siddon_exact_drrs_per_sec": round(sid, 1),
         "target": target,
         "volume": [N, N, N],
         "detector": [H, H],
-        "n_samples": S,
-        "window": window,
         "warp_window": ww,
-        "remap": bool(remap),
+        "budget_s": BUDGET,
+        "skipped": [],
+        "truncated": False,
     }
-    if train_stats is not None:
+    headline = {
+        "metric": f"256^2 DRRs/sec/chip (shear-warp MXU trilinear; 256^3 CT, batch {B_SW})",
+        "value": round(sw, 1),
+        "unit": "DRRs/s",
+        "vs_baseline": round(sw / target, 4),
+        "detail": detail,
+    }
+
+    def emit():
+        detail["elapsed_s"] = round(elapsed(), 1)
+        print(json.dumps(headline), flush=True)
+
+    emit()  # the headline survives even if everything after is cut short
+
+    # ---- optional sections, budget-gated, each re-emitting the line -------
+    costs = load_costs()
+
+    def section(name, cold_est, fn, gate=None):
+        """Run ``fn`` if it fits the remaining budget.
+
+        Estimate = last measured cost x 1.4 when available, else ``cold_est``.
+        ``gate`` overrides the estimate with a fixed threshold — used for the
+        deadline-aware sub-benches (register/train), whose core cost is
+        bounded but whose optional phases stretch the measured total far past
+        what a rerun actually needs (they self-truncate at the deadline).
+        """
+        prior = costs.get(name)
+        if gate is not None:
+            est = gate
+        else:
+            est = prior * 1.4 if prior is not None else cold_est
+        left = BUDGET - elapsed()
+        if est > left:
+            log(f"section {name}: skipped (est {est:.0f}s > {left:.0f}s left)")
+            detail["skipped"].append(name)
+            detail["truncated"] = True
+            return
+        log(f"section {name}: starting (est {est:.0f}s, {left:.0f}s left)")
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # keep the already-emitted line alive
+            log(f"section {name} FAILED: {type(e).__name__}: {e}")
+            detail["skipped"].append(f"{name}:error")
+        else:
+            costs[name] = time.perf_counter() - t0
+            save_costs(costs)
+        emit()
+
+    # -- Siddon-flavored shear-warp (the fast `--renderer siddon` path:
+    # trapezoid transverse profile at small eps; see render/shearwarp.py)
+    def run_siddon_fast():
+        @jax.jit
+        def render_siddon_fast(prepared, key):
+            pose = get_random_pose(key, batch_size=B_SW, **ranges)
+            src, tgt = det.rays(pose)
+            return raymarch_siddon_shearwarp(
+                density, affinv, src, tgt, perm=perm, prepared=prepared,
+                warp_window=ww, unroll=64,
+            )
+
+        t0 = time.perf_counter()
+        render_siddon_fast(prepared, jax.random.PRNGKey(0)).block_until_ready()
+        log(f"siddon_fast 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
+        sid_fast = timed_windows(
+            lambda k: render_siddon_fast(prepared, k), B_SW, "siddon_fast 256^2",
+            n_windows=3, n_iter=15,
+        )
+        detail["siddon_fast_drrs_per_sec"] = round(sid_fast, 1)
+        detail["siddon_fast_vs_baseline"] = round(sid_fast / target, 4)
+
+    section("siddon_fast", 40, run_siddon_fast)
+
+    # -- end-to-end registration at the reference budget (scales 24,12,6 x
+    # 500 on a 1436^2 X-ray; single `xvr register` invocation now includes
+    # the objective-gated re-anneal, --max_restarts default 1)
+    sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+    from contextlib import redirect_stdout
+
+    def run_register():
+        import bench_register
+
+        # registrar progress prints go to stderr: stdout is JSON lines only
+        with redirect_stdout(sys.stderr):
+            reg_stats = bench_register.run(deadline=T_START + BUDGET)
+        log(f"register warm: {reg_stats.get('warm_runtime_s')} s, "
+            f"mTRE {reg_stats.get('mtre_final_mm')} mm")
+        for src_k, dst_k in [
+            ("cold_runtime_s", "register_cold_s"),
+            ("warm_runtime_s", "register_warm_s"),
+            ("mtre_final_mm", "register_mtre_final_mm"),
+            ("mtre_final_median_mm", "register_mtre_final_median_mm"),
+            ("mtre_init_mm", "register_mtre_init_mm"),
+            ("max_restarts", "register_max_restarts"),
+            ("stage_compiles_cold", "register_stage_compiles_cold"),
+            ("stage_compiles_total", "register_stage_compiles_total"),
+            ("batch_k", "register_batch_k"),
+            ("batch_warm_s_per_xray", "register_batch_warm_s_per_xray"),
+            ("batch_mtre_median_mm", "register_batch_mtre_median_mm"),
+        ]:
+            if src_k in reg_stats:
+                detail[dst_k] = reg_stats[src_k]
+
+    # gate = the cold CORE cost (GT-render + 3 pyramid-stage compiles + two
+    # runs ~ 180 s); the batched/extra-init phases self-truncate at deadline
+    section("register", 300, run_register, gate=200)
+
+    # -- train step at the reference finetune operating point (batch 116
+    # DRRs @128^2, resnet34, grad-accum 4)
+    def run_train():
+        import bench_train
+
+        with redirect_stdout(sys.stderr):
+            train_stats = bench_train.run(
+                n_windows=2, n_steps=10, deadline=T_START + BUDGET
+            )
+        log(f"train step: {train_stats['value']} ms")
         detail["train_step_ms"] = train_stats["value"]
         detail["finetune_500_itrs_s"] = train_stats["finetune_500_itrs_s"]
         detail["train_renderer"] = train_stats["renderer"]
-        detail["train_masked_step_ms"] = train_stats["masked_step_ms"]
-        detail["train_masked_renderer"] = train_stats["masked_renderer"]
-    if reg_stats is not None:
-        detail["register_cold_s"] = reg_stats["cold_runtime_s"]
-        detail["register_warm_s"] = reg_stats["warm_runtime_s"]
-        detail["register_mtre_final_mm"] = reg_stats["mtre_final_mm"]
-        detail["register_mtre_final_median_mm"] = reg_stats["mtre_final_median_mm"]
-        detail["register_mtre_restart_mm"] = reg_stats["mtre_restart_mm"]
-        detail["register_mtre_init_mm"] = reg_stats["mtre_init_mm"]
-        detail["register_stage_compiles_cold"] = reg_stats["stage_compiles_cold"]
-        detail["register_stage_compiles_total"] = reg_stats["stage_compiles_total"]
-        detail["register_batch_k"] = reg_stats["batch_k"]
-        detail["register_batch_warm_s_per_xray"] = reg_stats["batch_warm_s_per_xray"]
-        detail["register_batch_mtre_median_mm"] = reg_stats["batch_mtre_median_mm"]
-    print(
-        json.dumps(
-            {
-                "metric": f"256^2 DRRs/sec/chip (shear-warp MXU trilinear; 256^3 CT, batch {B_SW})",
-                "value": round(sw, 1),
-                "unit": "DRRs/s",
-                "vs_baseline": round(sw / target, 4),
-                "detail": detail,
-            }
+        if "masked_step_ms" in train_stats:
+            detail["train_masked_step_ms"] = train_stats["masked_step_ms"]
+            detail["train_masked_renderer"] = train_stats["masked_renderer"]
+
+    # gate = cold unmasked compile + windows (~80 s); the masked phase
+    # self-truncates at the deadline (its compile is the expensive part)
+    section("train", 250, run_train, gate=110)
+
+    # -- labelmap (channel) rendering: masked foundation-training config.
+    # 2 labels (the finetune-script shape) and 6 labels (anatomical-style
+    # masks); per-channel masked volumes fold into the MXU accumulate.
+    from xvr_tpu.render.shearwarp import channel_slab_bounds
+
+    def make_channel_bench(n_labels):
+        mask = np.zeros((N, N, N), dtype=np.int32)
+        lo, hi = N // 4, 3 * N // 4
+        # n_labels contiguous slabs filling the central half of the volume
+        edges = np.linspace(lo, hi, n_labels + 1).astype(int)
+        for i in range(n_labels):
+            mask[edges[i] : edges[i + 1], lo:hi, lo:hi] = i + 1
+        labels = tuple(range(1, n_labels + 1))
+        prepared_ch = prepare_shearwarp(
+            density, perm, mask=jnp.asarray(mask), labels=labels
         )
-    )
+        jax.block_until_ready(prepared_ch)
+        ch_bounds = channel_slab_bounds(jnp.asarray(mask), labels, perm)
+
+        @jax.jit
+        def render_channels(prepared_ch, key):
+            pose = get_random_pose(key, batch_size=B_SW, **ranges)
+            src, tgt = det.rays(pose)
+            return raymarch_trilinear_shearwarp(
+                density, affinv, src, tgt, perm=perm, prepared=prepared_ch,
+                warp_window=ww, unroll=64, mask=jnp.asarray(mask),
+                labels=labels, chan_bounds=ch_bounds,
+            )
+
+        return render_channels, prepared_ch, labels, ch_bounds
+
+    def run_channels(n_labels, key_name, n_windows=3):
+        render_channels, prepared_ch, labels, ch_bounds = make_channel_bench(n_labels)
+        t0 = time.perf_counter()
+        out0 = render_channels(prepared_ch, jax.random.PRNGKey(0))
+        out0.block_until_ready()
+        assert out0.shape[1] == n_labels + 1, out0.shape
+        log(f"channels 256^2 ({n_labels} labels): compile+first run "
+            f"{time.perf_counter() - t0:.1f}s")
+        ch = timed_windows(
+            lambda k: render_channels(prepared_ch, k), B_SW,
+            f"channels 256^2 ({n_labels}L)", n_windows=n_windows, n_iter=12,
+        )
+        detail[key_name] = round(ch, 1)
+        # cost model: per-image work ~ (full march + sum of label slab
+        # extents); record the predicted slowdown vs the unmasked march so
+        # the measured ratio can be checked against it
+        extents = [int(b[1] - b[0]) for b in np.asarray(ch_bounds)]
+        detail[f"{key_name}_extents"] = extents
+        detail[f"{key_name}_pred_cost_ratio"] = round(1.0 + sum(extents) / N, 3)
+        detail[f"{key_name}_meas_cost_ratio"] = round(sw / ch, 3)
+
+    section("channels_2", 40, lambda: run_channels(2, "labelmap_channels_drrs_per_sec"))
+    section("channels_6", 50, lambda: run_channels(6, "labelmap_channels_6_drrs_per_sec", n_windows=2))
+
+    # -- full DeepFluoro-scale volume: 512^3 (537 MB packed table in HBM)
+    def run_512():
+        N2 = 512
+        hu512 = rng.uniform(-1000.0, 1500.0, size=(N2, N2, N2)).astype(np.float32)
+        sp512 = 0.75
+        aff512 = np.eye(4, dtype=np.float32) * sp512
+        aff512[3, 3] = 1.0
+        aff512[:3, 3] = -(N2 - 1) / 2.0 * sp512
+        vol512 = Volume(data=jnp.asarray(hu512), affine=jnp.asarray(aff512))
+        density512 = transform_hu_to_density(vol512.data, 2.0)
+        affinv512 = vol512.affine_inverse
+        prepared512 = prepare_shearwarp(density512, perm)
+        jax.block_until_ready(prepared512)
+        ww512 = measured_warp_window(
+            np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv512), perm, (H, H)
+        )
+        ww512 = int(-(-ww512 // 8) * 8)
+        B512 = 64
+
+        @jax.jit
+        def render_512(prepared512, key):
+            pose = get_random_pose(key, batch_size=B512, **ranges)
+            src, tgt = det.rays(pose)
+            return raymarch_trilinear_shearwarp(
+                density512, affinv512, src, tgt, perm=perm, prepared=prepared512,
+                warp_window=ww512, unroll=64,
+            )
+
+        t0 = time.perf_counter()
+        render_512(prepared512, jax.random.PRNGKey(0)).block_until_ready()
+        log(f"shearwarp 512^3: compile+first run {time.perf_counter() - t0:.1f}s")
+        sw512 = timed_windows(
+            lambda k: render_512(prepared512, k), B512, "shearwarp 512^3",
+            n_windows=3, n_iter=8,
+        )
+        detail["shearwarp_512cube_drrs_per_sec"] = round(sw512, 1)
+
+    section("cube_512", 70, run_512)
+
+    # -- slab-marching Pallas kernels (golden/cross-check paths): 1 window
+    # each — these are not production paths (see render/pallas.py docstring)
+    def run_slab_kernels():
+        from xvr_tpu.render.pallas import (
+            measured_window_span,
+            pack_density,
+            raymarch_siddon_pallas,
+            raymarch_trilinear_pallas,
+        )
+
+        packed = pack_density(density, perm)
+        jax.block_until_ready(packed[0])
+        vol_shape = tuple(int(density.shape[a]) for a in perm)
+        margs = (np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm,
+                 (H, H), vol_shape)
+        span_det = measured_window_span(*margs)
+        span_remap = measured_window_span(*margs, remap=True)
+        w_det = int(-(-span_det // 8) * 8)
+        w_remap = int(-(-span_remap // 8) * 8)
+        remap = w_remap + 8 < w_det
+        window = w_remap if remap else w_det
+        log(f"measured windows: detector-tiles {w_det}, sorted-remap {w_remap} "
+            f"-> remap={remap}, window={window}")
+        detail["window"] = window
+        detail["remap"] = bool(remap)
+        table, vshape = packed
+        B = 16
+
+        @jax.jit
+        def render_trilinear(table, key):
+            pose = get_random_pose(key, batch_size=B, **ranges)
+            src, tgt = det.rays(pose)
+            return raymarch_trilinear_pallas(
+                density, affinv, src, tgt, window=window, perm=perm,
+                packed=(table, vshape), remap=remap,
+            )
+
+        @jax.jit
+        def render_siddon(table, key):
+            pose = get_random_pose(key, batch_size=B, **ranges)
+            src, tgt = det.rays(pose)
+            return raymarch_siddon_pallas(
+                density, affinv, src, tgt, window=window + 8, perm=perm,
+                packed=(table, vshape), remap=remap,
+            )
+
+        for fn, name, key_name in [
+            (render_trilinear, "slab trilinear 256^2", "slab_trilinear_drrs_per_sec"),
+            (render_siddon, "siddon exact 256^2", "siddon_exact_drrs_per_sec"),
+        ]:
+            t0 = time.perf_counter()
+            fn(table, jax.random.PRNGKey(0)).block_until_ready()
+            log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
+            v = timed_windows(
+                lambda k: fn(table, k), B, name, n_windows=1, n_iter=12
+            )
+            detail[key_name] = round(v, 1)
+
+    section("slab_kernels", 90, run_slab_kernels)
+
+    emit()
+    log(f"bench done in {elapsed():.1f}s (budget {BUDGET:.0f}s); "
+        f"skipped: {detail['skipped']}")
 
 
 if __name__ == "__main__":

@@ -29,10 +29,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run() -> dict:
+def run(deadline: float | None = None) -> dict:
     """Cold + warm registration at the reference budget; returns the
     JSON-ready dict (importable so bench.py can fold these numbers into the
-    driver-recorded line)."""
+    driver-recorded line).
+
+    ``deadline`` is an absolute ``time.perf_counter()`` value; the optional
+    phases (median-over-inits, batched registration) are skipped once it is
+    near, so the core cold/warm/mTRE figures always make it out.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -59,12 +64,21 @@ def run() -> dict:
         (Z - c) / (0.40 * n)
     ) ** 2
     hu = np.where(body <= 1.0, 40.0, -1000.0).astype(np.float32)
-    # thick diagonal rod
-    t = np.linspace(0.28, 0.72, 200)
-    for ti in t:
-        cx, cy, cz = n * ti, n * (0.35 + 0.3 * ti), n * (1.0 - ti) * 0.8 + 0.1 * n
-        r2 = (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
-        hu = np.maximum(hu, np.where(r2 <= (0.045 * n) ** 2, 1200.0, hu))
+    # thick diagonal rod: a capsule around the segment p(t) = A + t*D,
+    # t in [0.28, 0.72] (the closed form of the old 200-sphere stamp loop,
+    # which cost >2 min of host time per bench run)
+    A = np.array([0.0, 0.35 * n, 0.9 * n], np.float32)
+    D = np.array([n, 0.3 * n, -0.8 * n], np.float32)
+    tstar = np.clip(
+        ((X - A[0]) * D[0] + (Y - A[1]) * D[1] + (Z - A[2]) * D[2]) / (D @ D),
+        0.28, 0.72,
+    )
+    r2 = (
+        (X - A[0] - tstar * D[0]) ** 2
+        + (Y - A[1] - tstar * D[1]) ** 2
+        + (Z - A[2] - tstar * D[2]) ** 2
+    )
+    hu = np.where(r2 <= (0.045 * n) ** 2, 1200.0, hu)
     # large off-center ball + a plate
     r2 = (X - 0.62 * n) ** 2 + (Y - 0.45 * n) ** 2 + (Z - 0.6 * n) ** 2
     hu = np.maximum(hu, np.where(r2 <= (0.10 * n) ** 2, 1000.0, hu))
@@ -128,6 +142,9 @@ def run() -> dict:
     frng = np.random.default_rng(7)
     bone = np.argwhere(hu > 600)
     fids = bone[frng.choice(len(bone), 60, replace=False)].astype(np.float64) * sp - c * sp
+    # SINGLE-invocation registrar: the default max_restarts=1 folds the
+    # objective-gated re-anneal into `run`, so mtre_final_mm below is what
+    # one `xvr register` command reaches at the reference budget.
     reg = RegistrarFixed(
         volume=d / "ct.nii.gz", mask=None, orientation="AP",
         rot=rot_init.tolist(), xyz=xyz_init.tolist(),
@@ -146,28 +163,8 @@ def run() -> dict:
     gt, intrinsics, _, init_pose, final_pose, kwargs = out
     iters = len(kwargs["trajectory"]["ncc"])
 
-    # Two-pass refinement (the reference's own `xvr register restart`
-    # workflow): re-run the same budget seeded from the final pose. Fresh
-    # Adam moments + a fresh plateau budget recover the iterations the
-    # early-exit heuristic cut short. Warm stages are all cache hits.
-    e_rot_f, e_xyz_f = final_pose.convert("euler_angles", "ZXY")
-    reg_r = RegistrarFixed(
-        volume=d / "ct.nii.gz", mask=None, orientation="AP",
-        rot=np.asarray(e_rot_f).reshape(-1)[:3].tolist(),
-        xyz=np.asarray(e_xyz_f).reshape(-1)[:3].tolist(),
-        linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
-        reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
-        patience=10, max_n_plateaus=3, verbose=0,
-    )
-    reg_r._stage_cache = reg._stage_cache
-    t0 = time.perf_counter()
-    restart_out = reg_r.run(d / "xray.dcm")
-    restart_s = time.perf_counter() - t0
-    # keep the restart pose only when it improved the OBJECTIVE (the user's
-    # own selection rule — ncc is observable at test time, mTRE is not)
-    ncc_first = kwargs["trajectory"]["ncc"][-1]
-    ncc_restart = restart_out[5]["trajectory"]["ncc"][-1]
-    restart_final = restart_out[4] if ncc_restart > ncc_first else final_pose
+    def time_left():
+        return np.inf if deadline is None else deadline - time.perf_counter()
 
     # Accuracy over a SPREAD of initializations: a single trajectory with
     # plateau-counted early exit is a high-variance observable (run-to-run
@@ -175,6 +172,9 @@ def run() -> dict:
     # phantom); the median over perturbed inits is the stable figure.
     extra_finals = [final_pose]
     for seed in (1, 2):
+        if time_left() < 4 * warm_s:
+            log(f"bench_register: skipping extra-init {seed} (deadline near)")
+            break
         prng = np.random.default_rng(seed)
         reg_i = RegistrarFixed(
             volume=d / "ct.nii.gz", mask=None, orientation="AP",
@@ -201,43 +201,57 @@ def run() -> dict:
     # ---- batched registration: K DISTINCT X-rays per optimization (the TPU
     # answer to the reference's 1800-job SLURM sweeps). Each X-ray comes from
     # its own ground-truth pose near the shared fixed init — the realistic
-    # sweep shape: one init strategy, per-image refinement.
+    # sweep shape: one init strategy, per-image refinement. Skipped when the
+    # deadline is near (the K=8 stage compiles are the cost).
+    batch_stats = {}
     KB = 8
-    brng = np.random.default_rng(11)
-    gt_batch = []
-    for k in range(KB):
-        rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
-        xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
-        pose_k = convert(
-            jnp.asarray([rot_k], jnp.float32), jnp.asarray([xyz_k], jnp.float32),
-            "euler_angles", "ZXY",
-        )
-        gt_batch.append(pose_k)
-        img_k = np.asarray(gt_proj(pose_k))[0, 0]
-        dcmwrite(
-            d / f"xray_b{k}.dcm", (img_k / img_k.max() * 60000).astype(np.uint16),
-            sdd=SDD, row_spacing=DELX, col_spacing=DELX,
-        )
-    batch_files = [d / f"xray_b{k}.dcm" for k in range(KB)]
-    t0 = time.perf_counter()
-    reg.run_batch(batch_files)  # pays the K=8 stage compiles
-    batch_cold_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    bat = reg.run_batch(batch_files)
-    batch_warm_s = time.perf_counter() - t0
+    if time_left() > 10 * warm_s + 60:
+        brng = np.random.default_rng(11)
+        gt_batch = []
+        for k in range(KB):
+            rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
+            xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
+            pose_k = convert(
+                jnp.asarray([rot_k], jnp.float32), jnp.asarray([xyz_k], jnp.float32),
+                "euler_angles", "ZXY",
+            )
+            gt_batch.append(pose_k)
+            img_k = np.asarray(gt_proj(pose_k))[0, 0]
+            dcmwrite(
+                d / f"xray_b{k}.dcm", (img_k / img_k.max() * 60000).astype(np.uint16),
+                sdd=SDD, row_spacing=DELX, col_spacing=DELX,
+            )
+        batch_files = [d / f"xray_b{k}.dcm" for k in range(KB)]
+        t0 = time.perf_counter()
+        reg.run_batch(batch_files)  # pays the K=8 stage compiles
+        batch_cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bat = reg.run_batch(batch_files)
+        batch_warm_s = time.perf_counter() - t0
 
-    def mtre_vs(pose, gt_p):
-        M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
-        Mi = np.linalg.inv(M)
-        Gi = np.linalg.inv(np.asarray(gt_p.matrix, np.float64)[0])
-        a = fids @ Gi[:3, :3].T + Gi[:3, 3]
-        b = fids @ Mi[:3, :3].T + Mi[:3, 3]
-        return float(np.linalg.norm(a - b, axis=-1).mean())
+        def mtre_vs(pose, gt_p):
+            M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
+            Mi = np.linalg.inv(M)
+            Gi = np.linalg.inv(np.asarray(gt_p.matrix, np.float64)[0])
+            a = fids @ Gi[:3, :3].T + Gi[:3, 3]
+            b = fids @ Mi[:3, :3].T + Mi[:3, 3]
+            return float(np.linalg.norm(a - b, axis=-1).mean())
 
-    batch_mtres = [mtre_vs(bat[k][4], gt_batch[k]) for k in range(KB)]
-    batch_mtre = float(np.median(batch_mtres))
-    log(f"batched x{KB}: warm {batch_warm_s:.1f}s ({batch_warm_s / KB:.2f} s/X-ray), "
-        f"median mTRE {batch_mtre:.3f} mm (per-image {[round(m, 2) for m in batch_mtres]})")
+        batch_mtres = [mtre_vs(bat[k][4], gt_batch[k]) for k in range(KB)]
+        batch_mtre = float(np.median(batch_mtres))
+        log(f"batched x{KB}: warm {batch_warm_s:.1f}s ({batch_warm_s / KB:.2f} s/X-ray), "
+            f"median mTRE {batch_mtre:.3f} mm (per-image {[round(m, 2) for m in batch_mtres]})")
+        batch_stats = {
+            # batched registration (K X-rays per optimization, shared wall time)
+            "batch_k": KB,
+            "batch_warm_s": round(batch_warm_s, 1),
+            "batch_warm_s_per_xray": round(batch_warm_s / KB, 2),
+            "batch_cold_s": round(batch_cold_s, 1),
+            "batch_mtre_median_mm": round(batch_mtre, 3),
+            "batch_mtre_worst_mm": round(max(batch_mtres), 3),
+        }
+    else:
+        log("bench_register: skipping batched phase (deadline near)")
 
     return {
         "metric": "xvr register (scales 24,12,6 x 500, 1436^2 X-ray, 256^3 CT)",
@@ -249,8 +263,8 @@ def run() -> dict:
         "mtre_final_mm": round(mtre(final_pose), 3),
         "mtre_final_median_mm": round(float(np.median([mtre(p) for p in extra_finals])), 3),
         "mtre_final_worst_mm": round(float(max(mtre(p) for p in extra_finals)), 3),
-        "mtre_restart_mm": round(mtre(restart_final), 3),
-        "restart_s": round(restart_s, 1),
+        "n_init_spread": len(extra_finals),
+        "max_restarts": reg.max_restarts,  # re-anneal is inside the invocation
         "dgeo_init_mm": round(dg_init, 2),
         "dgeo_final_mm": round(dg_fin, 2),
         "rot_final_deg": round(np.rad2deg(rg / SDD), 3),
@@ -259,13 +273,7 @@ def run() -> dict:
         # must reuse all of them — cache keys quantize measured windows)
         "stage_compiles_cold": compiles["cold"],
         "stage_compiles_total": compiles["warm"],
-        # batched registration (K X-rays per optimization, shared wall time)
-        "batch_k": KB,
-        "batch_warm_s": round(batch_warm_s, 1),
-        "batch_warm_s_per_xray": round(batch_warm_s / KB, 2),
-        "batch_cold_s": round(batch_cold_s, 1),
-        "batch_mtre_median_mm": round(batch_mtre, 3),
-        "batch_mtre_worst_mm": round(max(batch_mtres), 3),
+        **batch_stats,
     }
 
 

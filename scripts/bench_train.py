@@ -27,11 +27,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run(n_windows: int = 3, n_steps: int = 12) -> dict:
+def run(n_windows: int = 3, n_steps: int = 12, deadline: float | None = None) -> dict:
     """Measure steady-state train-step time at the finetune operating point.
 
     Returns the JSON-ready dict; importable so the top-level bench.py can fold
-    these numbers into the driver-recorded benchmark line.
+    these numbers into the driver-recorded benchmark line. ``deadline`` is an
+    absolute ``time.perf_counter()`` value; the masked (labelmap) phase is
+    skipped when it is near — its compile is the expensive part.
     """
     import jax
 
@@ -99,6 +101,20 @@ def run(n_windows: int = 3, n_steps: int = 12) -> dict:
         log(f"window {w}: {dt * 1e3:.0f} ms/step")
         best = min(best, dt)
 
+    base_stats = {
+        "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
+        "value": round(best * 1e3, 1),
+        "unit": "ms/step",
+        "finetune_500_itrs_s": round(best * 500, 1),
+        "drrs_per_sec_equiv": round(2 * 116 / best, 1),
+        "renderer": trainer.projectors[0][0].renderer,
+    }
+    # The masked compile has cost up to ~125 s cold; bail out with the
+    # unmasked figures if the budget can't cover a cold compile + steps.
+    if deadline is not None and deadline - time.perf_counter() < 150 + n_steps * best * 2:
+        log("bench_train: skipping masked phase (deadline near)")
+        return base_stats
+
     # ---- masked (foundation) operating point: labelmap channel rendering +
     # Dice supervision (reference finetune scripts pass --maskpath; config 5
     # of BASELINE.json). Two bone labels; same batch/CNN budget.
@@ -139,12 +155,7 @@ def run(n_windows: int = 3, n_steps: int = 12) -> dict:
     log(f"masked step: {masked_ms:.0f} ms ({trainer_m.projectors[0][0].renderer})")
 
     return {
-        "metric": "train step (batch 116 DRRs @ 128^2, 256^3 CT, resnet34)",
-        "value": round(best * 1e3, 1),
-        "unit": "ms/step",
-        "finetune_500_itrs_s": round(best * 500, 1),
-        "drrs_per_sec_equiv": round(2 * 116 / best, 1),
-        "renderer": trainer.projectors[0][0].renderer,
+        **base_stats,
         "masked_step_ms": round(masked_ms, 1),
         "masked_renderer": trainer_m.projectors[0][0].renderer,
     }

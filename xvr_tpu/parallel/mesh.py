@@ -48,6 +48,29 @@ def shard_batch(mesh: Mesh, x):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def shard_batch_flat(mesh: Mesh, x):
+    """Constrain a batch-leading array over ALL mesh axes flattened.
+
+    For per-image work with no intra-image sharding (the CNN forward/backward
+    on rendered DRRs) every axis acts as data parallelism, so the batch splits
+    over the whole mesh and parameter-gradient psums ride ICI once.
+    """
+    spec = P(tuple(mesh.axis_names), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Constrain every leaf of a pytree to be replicated over the mesh.
+
+    Pinning the parameter-gradient pytree replicated gives GSPMD a consistent
+    target for the CNN backward: without it the partitioner picks per-op
+    shardings for GroupNorm scale/bias grads that force an involuntary full
+    rematerialization (re-layout through HBM) every step.
+    """
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda g: jax.lax.with_sharding_constraint(g, rep), tree)
+
+
 def shard_rays(mesh: Mesh, x):
     """Constrain a (B, R, ...) ray tensor over (dp, rays)."""
     spec = P("dp", "rays", *([None] * (x.ndim - 2)))

@@ -507,11 +507,16 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            from ..parallel.mesh import shard_batch, shard_rays
+            from ..parallel.mesh import (
+                replicate_tree,
+                shard_batch,
+                shard_batch_flat,
+                shard_rays,
+            )
 
             mesh_axes = tuple(mesh.axis_names)
         else:
-            shard_batch = shard_rays = None
+            shard_batch = shard_batch_flat = shard_rays = replicate_tree = None
 
         def _shard_pose(pose: RigidTransform) -> RigidTransform:
             if mesh is None:
@@ -604,8 +609,12 @@ class Trainer:
                 keep = jnp.mean(fg, axis=(1, 2, 3)) > IMG_THRESHOLD
             keep = keep.astype(img.dtype)
 
-            # Augment + normalize the network input
+            # Augment + normalize the network input. Under a mesh the CNN
+            # batch shards over ALL axes flattened (per-image work: rays is
+            # just more data parallelism for the regressor).
             x = transforms(xray_augmentations(k_aug, img, p=p_aug))
+            if mesh is not None:
+                x = shard_batch_flat(mesh, x)
 
             def loss_fn(params):
                 rot, xyz = model.apply(params, x)
@@ -628,6 +637,12 @@ class Trainer:
                 return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if mesh is not None:
+                # Pin the param-grad pytree replicated: the backward's psums
+                # land directly on ICI instead of GSPMD inventing per-op
+                # shardings for GroupNorm scale/bias grads (which forced an
+                # involuntary full rematerialization re-layout per step).
+                grads = replicate_tree(mesh, grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["loss"] = loss
