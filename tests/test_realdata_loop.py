@@ -81,8 +81,12 @@ def _make_ct():
     return gaussian_filter(hu, sigma=1.0).astype(np.float32)
 
 
-@pytest.mark.slow
-def test_convert_register_evaluate_loop(tmp_path):
+def _convert_fixture(tmp_path):
+    """Build the miniature DeepFluoro HDF5 fixture and run the converter.
+
+    -> (data_root, subject_dir, gt_pose, gt_rot, gt_xyz, my_nii, mapper, hu).
+    Shared by the end-to-end loop test and the convention-validation test.
+    """
     c = (N - 1) / 2
     hu = _make_ct()
 
@@ -169,6 +173,15 @@ def test_convert_register_evaluate_loop(tmp_path):
     subject = data_root / "deepfluoro" / "subject01"
     assert (subject / "xrays" / "000.dcm").exists()
     assert (subject / "mask.nii.gz").exists()
+    return data_root, subject, gt_pose, gt_rot, gt_xyz, my_nii, mapper, hu
+
+
+@pytest.mark.slow
+def test_convert_register_evaluate_loop(tmp_path):
+    data_root, subject, gt_pose, gt_rot, gt_xyz, my_nii, mapper, hu = (
+        _convert_fixture(tmp_path)
+    )
+    from click.testing import CliRunner
 
     # conversion must reproduce my directly-saved volume exactly: both
     # NIfTIs canonicalize to the same world-space (data, affine) pair
@@ -229,3 +242,41 @@ def test_convert_register_evaluate_loop(tmp_path):
     assert mtre_init > 1.5, f"perturbation too small to be a real test: {mtre_init}"
     assert mtre < 1.0, f"registration did not reach sub-mm: {mtre} (init {mtre_init})"
     assert mtre < mtre_init / 3
+
+def test_validate_convention_script(tmp_path):
+    """scripts/validate_convention.py (VERDICT r2 #10): on the synthetic
+    fixture the stored pose must reproduce the converted X-ray (high mNCC),
+    and a deliberately axis-flipped pose must fail the check — so the script
+    can discharge the documented se3 convention risk on real data."""
+    from click.testing import CliRunner
+
+    data_root, subject, gt_pose, *_ = _convert_fixture(tmp_path)
+    vc = _load_script("validate_convention")
+
+    r = CliRunner().invoke(
+        vc.main,
+        [str(data_root), "deepfluoro", "-n", "1", "--size", "128",
+         "--no-linearize"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "Convention check passed" in r.output
+
+    # sabotage: re-store the pose with a TRANSPOSED rotation block (the
+    # classic world-to-camera vs camera-to-world convention mistake) ->
+    # the viewed geometry moves and mNCC collapses. (A missing mapper flip
+    # is the one error class image similarity can NOT catch — it yields the
+    # antipodal pose, whose projection is nearly identical; see the caveat
+    # in scripts/validate_convention.py.)
+    npz_path = subject / "xrays" / "000.npz"
+    d = dict(np.load(npz_path))
+    bad = np.asarray(d["pose"], np.float32).copy()
+    bad[..., :3, :3] = np.swapaxes(bad[..., :3, :3], -1, -2)
+    d["pose"] = bad
+    np.savez(npz_path, **d)
+    r = CliRunner().invoke(
+        vc.main,
+        [str(data_root), "deepfluoro", "-n", "1", "--size", "128",
+         "--no-linearize"],
+    )
+    assert r.exit_code == 1, r.output
+    assert "CONVENTION CHECK FAILED" in r.output
