@@ -581,7 +581,13 @@ class RegistrarBase:
 
         if (
             self.renderer in ("trilinear", "siddon")
-            and jax.default_backend() == "tpu"
+            and (
+                jax.default_backend() == "tpu"
+                # the shear-warp path is plain XLA and runs anywhere; the
+                # TPU gate only reflects where it is the RIGHT default.
+                # Tests force it on CPU to compare fast-vs-exact accuracy.
+                or _os.environ.get("XVR_FORCE_SHEARWARP")
+            )
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
             # decide march axis + check the steepness regime on the coarsest

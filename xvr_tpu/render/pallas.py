@@ -1339,10 +1339,18 @@ def raymarch_siddon_pallas(
     remap: bool = False,
     stream: bool | None = None,
 ) -> jnp.ndarray:
-    """Exact Siddon fast path (forward only — no pose gradients; the XLA DDA
-    remains the differentiable reference). Labelmap channel rendering falls
-    back to the XLA path. Exact within the bf16 volume quantization while
-    rays stay within ~45 degrees of the march axis."""
+    """Exact Siddon kernel — CROSS-CHECK ONLY, not a production path.
+
+    Forward only (no pose gradients; the XLA DDA remains the differentiable
+    exact reference) at ~99 DRRs/s. Production ``--renderer siddon`` runs
+    the differentiable siddon-flavored shear-warp path instead
+    (``raymarch_siddon_shearwarp``, ~5,500 DRRs/s, eps=0.25 trapezoid
+    profile); tests/test_registrar.py::test_siddon_fast_registration_accuracy
+    bounds what that smoothing does to registration accuracy (equal or
+    better mTRE at matched budget). This kernel survives as the golden
+    forward for bit-level Siddon semantics: exact within the bf16 volume
+    quantization while rays stay within ~45 degrees of the march axis.
+    Labelmap channel rendering falls back to the XLA path."""
     if mask is not None and labels is not None:
         from . import xla
 

@@ -184,7 +184,13 @@ class Trainer:
 
         if (
             renderer in ("trilinear", "siddon")
-            and jax.default_backend() == "tpu"
+            and (
+                jax.default_backend() == "tpu"
+                # shear-warp is plain XLA; XVR_FORCE_SHEARWARP lets CPU tests
+                # exercise the production fast path (same override as the
+                # registrar's)
+                or _os.environ.get("XVR_FORCE_SHEARWARP")
+            )
             and not _os.environ.get("XVR_NO_PALLAS")
         ):
             from ..geometry import convert as _convert
