@@ -62,6 +62,7 @@ def test_resnet34_deeper_than_18():
     assert n34 > n18 > 1e6
 
 
+@pytest.mark.slow
 def test_imagenet_backbone_grafting(tmp_path):
     """A torchvision-format resnet18 state_dict grafts into the flax params:
     conv kernels transposed OIHW->HWIO, stem summed RGB->1ch, BN stats folded

@@ -142,6 +142,7 @@ def test_channel_rendering_gradients():
     assert abs(float(g) - fd) / (abs(fd) + 1e-3) < 0.02, (float(g), fd)
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_finite_differences():
     vol = make_test_volume(16, spacing=2.0, kind="gradient")
     det = Detector(sdd=400.0, height=8, width=8, delx=4.0, dely=4.0)
@@ -301,6 +302,7 @@ def test_remap_shrinks_window_on_large_detectors():
     assert span_remap < 0.6 * span_det, (span_remap, span_det)
 
 
+@pytest.mark.slow
 def test_remap_measured_window_stays_unclipped():
     from xvr_tpu.render.pallas import measured_window_span, pack_density
 

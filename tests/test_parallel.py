@@ -214,6 +214,7 @@ def test_mesh_masked_channel_step(tmp_path):
     np.testing.assert_allclose(m["loss"], m_ref["loss"], rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_mesh_batched_registration(tmp_path):
     """Batched registration sharded over an 8-device dp mesh: rows of a
     duplicated X-ray stay identical (per-image independence survives the

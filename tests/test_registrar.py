@@ -293,6 +293,7 @@ def test_registrar_equalize_path(phantom, gt_xray):
     assert ncc[-1] > ncc[0]  # similarity improved under equalization
 
 
+@pytest.mark.slow
 def test_objective_gated_restart(phantom, gt_xray, tmp_path):
     """max_restarts folds the reference's two-pass `register restart`
     workflow into one invocation: the pyramid reruns from the final pose with
@@ -334,6 +335,7 @@ def test_objective_gated_restart(phantom, gt_xray, tmp_path):
     assert meta["optimization"]["max_restarts"] == 1
 
 
+@pytest.mark.slow
 def test_run_batch_shapes_and_bundles(phantom, gt_xray, tmp_path):
     """K=2 batched registration: per-image result tuples, per-image bundles."""
     xray_path, gt_pose = gt_xray
@@ -433,6 +435,7 @@ def test_batched_matches_sequential(phantom, gt_xray, tmp_path):
         assert abs(ncc_seq - ncc_bat) < 0.02, (ncc_seq, ncc_bat)
 
 
+@pytest.mark.slow
 def test_register_files_groups_mixed_intrinsics(phantom, gt_xray, tmp_path):
     """Files with different detector geometry cannot share a batch: they
     split into intrinsics groups, and every file still gets a bundle."""

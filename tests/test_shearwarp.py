@@ -170,6 +170,7 @@ def test_siddon_forward_matches_golden(scene):
     assert np.corrcoef(out.ravel(), gold.ravel())[0, 1] > 0.999
 
 
+@pytest.mark.slow
 def test_siddon_fast_gradient_finite_difference(scene):
     """The analytic adjoint is the exact gradient of the eps-smoothed Siddon
     forward: central finite differences of the SAME function must agree."""
@@ -360,6 +361,7 @@ def test_default_grid_shape_bounds():
     assert default_grid_shape((1436, 1436)) == (1536, 1536)
 
 
+@pytest.mark.slow
 def test_shearwarp_steep_pose_accuracy():
     """Between 45 and ~70 deg off the march axis (the zone the loosened gate
     admits — the slab kernel's hard 45-deg invariant does not apply to the
@@ -418,6 +420,7 @@ def test_noncubic_anisotropic_volume():
         assert err < 0.05, (i, err)
 
 
+@pytest.mark.slow
 def test_channel_slab_bounds_exact():
     """Static per-label slab bounds: bounded channel renders must equal the
     dense (all-slab) renders exactly — slabs outside a label's bounding box
@@ -479,6 +482,7 @@ def test_with_shearwarp_sets_channel_bounds():
         assert 0 <= k0 < k1 <= M
 
 
+@pytest.mark.slow
 def test_warp_remap_matches_plain_layout():
     """The barrel-sheared warp layout is a pure re-tiling: forward renders
     and fast-path gradients must match the plain layout to fp precision, with

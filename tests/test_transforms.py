@@ -117,6 +117,7 @@ def test_plot_drr_and_registration(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_profiling_annotate_and_trace(tmp_path):
     from xvr_tpu.utils.profiling import annotate, maybe_trace_dir, trace
 
