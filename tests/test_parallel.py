@@ -370,3 +370,70 @@ def test_sharded_step_no_involuntary_remat(tmp_path):
     # decompositions of the same psum. The involuntary re-layout this guards
     # against moved full activation tensors through extra collectives.
     assert stats["total_collective_bytes"] <= 2.5 * stats["param_bytes"], stats
+
+
+@pytest.mark.slow
+def test_shard_rays_fast_render_matches_unsharded():
+    """Ray-sharding the FAST (shear-warp) renderer (VERDICT r2 #7): the
+    detector warp is row-blocked over the rays axis inside shard_map while
+    each device repeats the per-image slope accumulate; with the slope grid
+    fitted to the full detector, the sharded render equals the unsharded
+    fast render, and pose gradients match through the custom VJP."""
+    from xvr_tpu.geometry import RigidTransform
+    from xvr_tpu.parallel import ray_sharded_fast_render
+
+    vol = make_test_volume(24, spacing=4.0, kind="sphere")
+    proj = Projector.from_volume(vol, sdd=400.0, height=32, delx=4.0)
+    pose = convert(
+        jnp.asarray([[180.0, 5.0, -3.0], [170.0, -5.0, 3.0],
+                     [185.0, 2.0, 1.0], [175.0, -2.0, -1.0]]),
+        jnp.asarray([[0.0, 200.0, 0.0], [5.0, 220.0, -5.0],
+                     [-3.0, 210.0, 2.0], [2.0, 205.0, -2.0]]),
+        parameterization="euler_angles", convention="ZXY", degrees=True,
+    ).compose(make_translation(vol.center))
+
+    fast = proj.with_shearwarp(pose)
+    assert fast.renderer == "trilinear_fast", fast.renderer
+    prepared = fast.prepare_for_shearwarp(fast.density)
+
+    def ref_render(matrix):
+        src, tgt = fast.rays(RigidTransform(matrix))
+        return fast.render_rays(src, tgt, prepared=prepared)
+
+    ref = jax.jit(ref_render)(pose.matrix)
+
+    mesh = make_mesh(8)  # {dp: 4, rays: 2} -> 16-row warp blocks
+
+    @jax.jit
+    def sharded(matrix):
+        return ray_sharded_fast_render(
+            mesh, fast, RigidTransform(matrix), prepared=prepared
+        )
+
+    with mesh:
+        out = jax.device_get(sharded(pose.matrix))
+    # 5e-5: the full-detector grid fit reduces min/max in a different
+    # association than the reference jit; pure float noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+    # pose gradients flow through shard_map's transpose and match unsharded
+    def loss_sharded(matrix):
+        return jnp.sum(ray_sharded_fast_render(
+            mesh, fast, RigidTransform(matrix), prepared=prepared
+        ) ** 2)
+
+    def loss_ref(matrix):
+        return jnp.sum(ref_render(matrix) ** 2)
+
+    with mesh:
+        g_sharded = jax.device_get(jax.jit(jax.grad(loss_sharded))(pose.matrix))
+    g_ref = jax.device_get(jax.jit(jax.grad(loss_ref))(pose.matrix))
+    assert np.isfinite(g_sharded).all()
+    # the adjoint's row-block psum reassociates sums whose terms are ~1e5
+    # but whose results are ~1e2 (heavy cancellation), so elementwise
+    # tolerances must be norm-aware; the gradient field itself must align
+    a, b = np.asarray(g_sharded).ravel(), np.asarray(g_ref).ravel()
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4 * scale)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 1.0 - 1e-8, cos

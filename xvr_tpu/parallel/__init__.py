@@ -1,3 +1,19 @@
-from .mesh import make_mesh, replicated, shard_batch, shard_rays
+from .mesh import (
+    make_mesh,
+    ray_sharded_fast_render,
+    replicate_tree,
+    replicated,
+    shard_batch,
+    shard_batch_flat,
+    shard_rays,
+)
 
-__all__ = ["make_mesh", "replicated", "shard_batch", "shard_rays"]
+__all__ = [
+    "make_mesh",
+    "ray_sharded_fast_render",
+    "replicate_tree",
+    "replicated",
+    "shard_batch",
+    "shard_batch_flat",
+    "shard_rays",
+]

@@ -81,5 +81,70 @@ def replicated(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def ray_sharded_fast_render(mesh: Mesh, projector, pose, density=None, prepared=None):
+    """Split ONE shear-warp render's detector rows across the mesh.
+
+    The slope-space accumulate is per-image (each device repeats it — cheap
+    relative to the warp at large detectors); the detector warp, the
+    tile-parallel part, is row-blocked over the ``rays`` axis with the pose
+    batch over ``dp``. The slope grid is fitted to the FULL detector first
+    (:func:`xvr_tpu.render.shearwarp.shearwarp_grid_bounds`), so every shard
+    warps from the identical grid and the sharded output equals the
+    unsharded fast render. This lifts the round-2 limitation where a single
+    render bigger than one chip had to fall back to the XLA gather path.
+
+    Differentiable: gradients flow to the pose through the custom shear-warp
+    VJP inside ``shard_map`` (ray-block cotangents; replicated-operand
+    cotangents are psummed by the transpose). Returns raw ``(B, R)`` line
+    integrals like ``projector.render_rays``.
+    """
+    from ..render import shearwarp as sw
+
+    if not projector.renderer.endswith(("_fast", "_shearwarp")):
+        raise ValueError(f"fast renderer required, got {projector.renderer!r}")
+    if projector.shearwarp_remap:
+        # the barrel-shift warp layout derives per-column shifts from the
+        # local ray block, which would disagree across shards
+        raise ValueError("ray sharding requires shearwarp_remap=False")
+    det = projector.detector
+    H, W = det.height, det.width
+    B = int(pose.matrix.shape[0])
+    shape = dict(mesh.shape)
+    dp, nr = int(shape.get("dp", 1)), int(shape.get("rays", 1))
+    if B % dp:
+        raise ValueError(f"pose batch {B} must divide over dp={dp}")
+    if H % nr:
+        raise ValueError(f"detector rows {H} must divide over rays={nr}")
+    density = projector.density if density is None else density
+    if prepared is None:
+        prepared = projector.prepare_for_shearwarp(density)
+    if getattr(prepared, "ndim", 3) == 4:
+        raise ValueError("ray sharding supports single-channel renders only")
+    src, tgt = projector.rays(pose)
+    grid_shape = projector.shearwarp_grid or sw.default_grid_shape((H, W))
+    bounds = sw.shearwarp_grid_bounds(
+        projector.affine_inverse, src, tgt,
+        perm=projector.pallas_perm, grid_shape=grid_shape,
+    )
+    eps = 0.25 if projector.renderer.startswith("siddon") else 1.0
+    affine_inverse = projector.affine_inverse
+
+    def body(src_blk, tgt_blk, density, prepared, *bounds_blk):
+        return sw.raymarch_trilinear_fast(
+            density, affine_inverse, src_blk, tgt_blk,
+            det_shape=(H // nr, W), perm=projector.pallas_perm,
+            prepared=prepared, grid_shape=grid_shape,
+            warp_window=projector.shearwarp_window,
+            eps=eps, grid_bounds=bounds_blk,
+        )
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("dp"), P("dp", "rays"), P(), P()) + (P("dp"),) * 5,
+        out_specs=P("dp", "rays"),
+        check_vma=False,  # custom_vjp inside the body
+    )(src, tgt, density, prepared, *bounds)
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)

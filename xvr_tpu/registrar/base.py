@@ -236,7 +236,14 @@ class RegistrarBase:
             def sharded_fast_render(pose, density, prepared):
                 """shard_map over the flattened axes: GSPMD cannot split the
                 Pallas warp, so each device renders its pose shard whole
-                (same pattern as the trainer's _sharded_fast_render)."""
+                (same pattern as the trainer's _sharded_fast_render).
+                Whole-per-device is the registrar's BEST strategy whenever
+                K >= devices (zero intra-render communication); for a single
+                render that must span chips, the fast renderer can now also
+                row-block its warp over the rays axis — see
+                parallel.ray_sharded_fast_render (equality + grad tested by
+                tests/test_parallel.py::test_shard_rays_fast_render_matches_unsharded);
+                no XLA-renderer fallback is required."""
 
                 def body(pose_mat, density, prepared):
                     src, tgt = projector.rays(RigidTransform(pose_mat))

@@ -584,18 +584,24 @@ def _warp_folded(I, uc, vc, wscale, *, det_shape, grid_shape, window, interpret,
 def _shearwarp_from_fields(
     prepared, s_p, d_p, wscale,
     *, det_shape, grid_shape, warp_window, unroll, interpret, eps=1.0,
-    chan_bounds=None, warp_remap=False,
+    chan_bounds=None, warp_remap=False, grid_bounds=None,
 ):
-    """Render from permuted voxel-space ray fields (s_p/d_p: (B, R, 3))."""
+    """Render from permuted voxel-space ray fields (s_p/d_p: (B, R, 3)).
+
+    ``grid_bounds`` = (u0, du, v0, dv, sgn) overrides the per-call grid fit
+    for ray-sharded renders (see :func:`shearwarp_grid_bounds`)."""
     Iu, Iv = grid_shape
     safe_d0 = jnp.where(jnp.abs(d_p[..., 0]) < 1e-6, 1e-6, d_p[..., 0])
     u = d_p[..., 1] / safe_d0  # (B, R)
     v = d_p[..., 2] / safe_d0
-    u0, du = _grid_transform(jnp.min(u, axis=1), jnp.max(u, axis=1), Iu)
-    v0, dv = _grid_transform(jnp.min(v, axis=1), jnp.max(v, axis=1), Iv)
+    if grid_bounds is None:
+        u0, du = _grid_transform(jnp.min(u, axis=1), jnp.max(u, axis=1), Iu)
+        v0, dv = _grid_transform(jnp.min(v, axis=1), jnp.max(v, axis=1), Iv)
+        sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))  # march direction per image
+    else:
+        u0, du, v0, dv, sgn = grid_bounds
     # point source: all rays share s_p; (B, 3)
     s_scalar = s_p[:, 0, :]
-    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))  # march direction per image
     I = _accumulate_any(
         prepared, s_scalar, sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
         eps=eps, bounds=chan_bounds, interpret=interpret,
@@ -635,6 +641,7 @@ def raymarch_trilinear_shearwarp(
     eps: float = 1.0,
     chan_bounds: tuple[tuple[int, int], ...] | None = None,
     warp_remap: bool = False,
+    grid_bounds=None,
 ) -> jnp.ndarray:
     """Forward-only shear-warp trilinear DRR: (B, R) line integrals in mm
     ((B, C, R) with ``mask``/``labels``; ``chan_bounds`` from
@@ -676,6 +683,7 @@ def raymarch_trilinear_shearwarp(
         det_shape=det_shape, grid_shape=tuple(int(x) for x in grid_shape),
         warp_window=warp_window, unroll=int(unroll), interpret=bool(interpret),
         eps=float(eps), chan_bounds=chan_bounds, warp_remap=bool(warp_remap),
+        grid_bounds=grid_bounds,
     )
     if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]
         out = out.at[:, 0].add(-jnp.sum(out[:, 1:], axis=1))
@@ -1013,37 +1021,64 @@ def _pick_adjoint(vol_shape, Iu, Iv, unroll, interpret, B):
 # ---------------------------------------------------------------------------
 
 
-def _slope_pieces(d_p, Iu, Iv):
-    """Per-ray slopes + the (stop-gradient) grid transform and coordinates."""
+def _slope_pieces(d_p, Iu, Iv, bounds=None):
+    """Per-ray slopes + the (stop-gradient) grid transform and coordinates.
+
+    ``bounds`` (u0, du, v0, dv) overrides the per-call min/max grid fit —
+    a ray-SHARDED render must use the bounds of the FULL detector so every
+    shard warps from the identical slope grid (see
+    :func:`shearwarp_grid_bounds`)."""
     safe_d0 = jnp.where(jnp.abs(d_p[..., 0]) < 1e-6, 1e-6, d_p[..., 0])
     u = d_p[..., 1] / safe_d0
     v = d_p[..., 2] / safe_d0
-    u0, du = _grid_transform(jnp.min(u, axis=1), jnp.max(u, axis=1), Iu)
-    v0, dv = _grid_transform(jnp.min(v, axis=1), jnp.max(v, axis=1), Iv)
+    if bounds is None:
+        u0, du = _grid_transform(jnp.min(u, axis=1), jnp.max(u, axis=1), Iu)
+        v0, dv = _grid_transform(jnp.min(v, axis=1), jnp.max(v, axis=1), Iv)
+    else:
+        u0, du, v0, dv = bounds
     u0, du, v0, dv = map(jax.lax.stop_gradient, (u0, du, v0, dv))
     uc = (u - u0[:, None]) / du[:, None]
     vc = (v - v0[:, None]) / dv[:, None]
     return safe_d0, u, v, u0, du, v0, dv, uc, vc
 
 
+def shearwarp_grid_bounds(affine_inverse, source, target, *, perm, grid_shape):
+    """Global slope-grid transform + march sign for a ray-sharded render.
+
+    -> ``(u0, du, v0, dv, sgn)``, each ``(B,)``. Computed over the FULL
+    detector's rays; pass as ``grid_bounds`` to the raymarch entry points so
+    each ray shard accumulates and warps against the identical slope grid
+    (bitwise-equal to the unsharded render)."""
+    Iu, Iv = grid_shape
+    s_p, d_p, _ = _decompose(affine_inverse, source, target, perm)
+    _, _, _, u0, du, v0, dv, _, _ = _slope_pieces(d_p, Iu, Iv)
+    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+    return u0, du, v0, dv, sgn
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fast(cfg, prepared, packed_table, affine_inverse, source, target):
+def _fast(cfg, prepared, packed_table, affine_inverse, source, target, grid_bounds):
     det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     return _shearwarp_from_fields(
         prepared, s_p, d_p, wscale,
         det_shape=det_shape, grid_shape=grid_shape,
         warp_window=warp_window, unroll=unroll, interpret=interpret, eps=eps,
-        chan_bounds=chan_bounds, warp_remap=warp_remap,
+        chan_bounds=chan_bounds, warp_remap=warp_remap, grid_bounds=grid_bounds,
     )
 
 
-def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
+def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target, grid_bounds):
     det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
     s_p, d_p, wscale = _decompose(affine_inverse, source, target, perm)
     Iu, Iv = grid_shape
-    _, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
-    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+    _, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(
+        d_p, Iu, Iv, bounds=None if grid_bounds is None else grid_bounds[:4]
+    )
+    sgn = (
+        jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+        if grid_bounds is None else grid_bounds[4]
+    )
     I = _accumulate_any(
         prepared, s_p[:, 0, :], sgn, u0, du, v0, dv, Iu=Iu, Iv=Iv, unroll=unroll,
         eps=eps, bounds=chan_bounds, interpret=interpret,
@@ -1053,7 +1088,7 @@ def _fast_fwd(cfg, prepared, packed_table, affine_inverse, source, target):
         det_shape=det_shape, grid_shape=grid_shape,
         window=warp_window, interpret=interpret, remap=warp_remap,
     )
-    return out, (prepared, packed_table, affine_inverse, source, target, I)
+    return out, (prepared, packed_table, affine_inverse, source, target, I, grid_bounds)
 
 
 def _fast_bwd(cfg, res, g):
@@ -1070,7 +1105,11 @@ def _fast_bwd(cfg, res, g):
     cross-check; single-channel only).
     """
     det_shape, vol_shape, grid_shape, warp_window, slab_window, perm, unroll, interpret, stream, backward, eps, chan_bounds, warp_remap = cfg
-    prepared, packed_table, affine_inverse, source, target, I = res
+    prepared, packed_table, affine_inverse, source, target, I, grid_bounds = res
+    g_bounds = (
+        None if grid_bounds is None
+        else tuple(jnp.zeros_like(b) for b in grid_bounds)
+    )
     (s_p, d_p, wscale), light_vjp = jax.vjp(
         lambda src, tgt: _decompose(affine_inverse, src, tgt, perm), source, target
     )
@@ -1084,11 +1123,16 @@ def _fast_bwd(cfg, res, g):
             g,
         )
         g_src, g_tgt = light_vjp((g_s, g_d, g_ws))
-        return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt
+        return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt, g_bounds
 
     Iu, Iv = grid_shape
-    safe_d0, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(d_p, Iu, Iv)
-    sgn = jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+    safe_d0, u, v, u0, du, v0, dv, uc, vc = _slope_pieces(
+        d_p, Iu, Iv, bounds=None if grid_bounds is None else grid_bounds[:4]
+    )
+    sgn = (
+        jnp.sign(jnp.mean(d_p[..., 0], axis=1))
+        if grid_bounds is None else grid_bounds[4]
+    )
     channels = I.ndim == 4
     if channels:
         C, B = I.shape[0], I.shape[1]
@@ -1136,7 +1180,7 @@ def _fast_bwd(cfg, res, g):
     g_d = jnp.stack([g_d0, g_u / safe_d0, g_v / safe_d0], axis=-1)
     g_s = jnp.zeros_like(s_p).at[:, 0, :].set(g_s_scalar)
     g_src, g_tgt = light_vjp((g_s, g_d, g_ws))
-    return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt
+    return None, None, jnp.zeros_like(affine_inverse), g_src, g_tgt, g_bounds
 
 
 _fast.defvjp(_fast_fwd, _fast_bwd)
@@ -1162,6 +1206,7 @@ def raymarch_trilinear_fast(
     eps: float = 1.0,
     chan_bounds: tuple[tuple[int, int], ...] | None = None,
     warp_remap: bool = False,
+    grid_bounds=None,
 ) -> jnp.ndarray:
     """Differentiable fast trilinear render, MXU forward AND backward.
 
@@ -1228,7 +1273,7 @@ def raymarch_trilinear_fast(
         tuple((int(a), int(b)) for a, b in chan_bounds) if chan_bounds is not None else None,
         bool(warp_remap),
     )
-    out = _fast(cfg, prepared, packed_table, affine_inverse, source, target)
+    out = _fast(cfg, prepared, packed_table, affine_inverse, source, target, grid_bounds)
     if out.ndim == 3:  # channels [full, fg...] -> public [bg, fg...]
         out = out.at[:, 0].add(-jnp.sum(out[:, 1:], axis=1))
     return out
