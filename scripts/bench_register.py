@@ -258,7 +258,12 @@ def run(deadline: float | None = None) -> dict:
         "cold_runtime_s": round(cold_s, 1),
         "warm_runtime_s": round(warm_s, 1),
         "iters": iters,
-        "ms_per_iter_warm": round(results["warm"][1][5]["runtime"] / max(iters, 1) * 1e3, 1),
+        # divide by iterations EXECUTED (incl. discarded re-anneal passes),
+        # not trajectory length — a discarded pass costs time, leaves no rows
+        "ms_per_iter_warm": round(
+            results["warm"][1][5]["runtime"]
+            / max(results["warm"][1][5].get("iters_run", iters), 1) * 1e3, 1,
+        ),
         "mtre_init_mm": round(mtre(init_pose), 3),
         "mtre_final_mm": round(mtre(final_pose), 3),
         "mtre_final_median_mm": round(float(np.median([mtre(p) for p in extra_finals])), 3),

@@ -46,9 +46,10 @@ class RegistrarArgs:
     # fresh plateau budget, keeping the new pose per-image only when the
     # image similarity improved. Plateau-counted early exit is a noisy
     # stopping rule; one re-anneal recovers the iterations it cuts short
-    # (measured: 1.67 mm -> 0.24 mm mTRE on the bench phantom at the
-    # reference budget). Stage executables are cached, so a restart costs
-    # iteration time only. 0 restores the reference's single-pass behavior.
+    # (round-3 bench, reference budget: 0.594 mm single-invocation mTRE vs
+    # ~1.7 mm single-pass; batched median 0.412 mm — BENCH_LOCAL.json).
+    # Stage executables are cached, so a restart costs iteration time only.
+    # 0 restores the reference's single-pass behavior.
     max_restarts: int = 1
 
     # Outputs and chatter.

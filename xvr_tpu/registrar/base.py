@@ -647,12 +647,14 @@ class RegistrarBase:
         # as a manual second pass); folding the pass in makes one invocation
         # reach what the two-pass workflow reaches. Stage executables are all
         # cache hits here, so each pass costs iteration time only.
+        iters_run = max(len(nccs[k]) - 1 for k in range(K))  # row 0 = initial
         for restart_idx in range(self.max_restarts):
             prev_ncc = np.asarray([nccs[k][-1] for k in range(K)])
             r_pose, r_params, r_nccs, r_times, r_alphas = (
                 self.run_test_time_optimization(gt, final_pose, scales, imagesim_cfg)
             )
             new_ncc = np.asarray([r_nccs[k][-1] for k in range(K)])
+            iters_run += max(len(r_nccs[k]) - 1 for k in range(K))
             improved = new_ncc > prev_ncc
             if improved.any():
                 mats = np.asarray(final_pose.matrix).reshape(K, 4, 4).copy()
@@ -660,10 +662,13 @@ class RegistrarBase:
                 mats[improved] = r_mats[improved]
                 final_pose = RigidTransform(jnp.asarray(mats))
                 for k in np.flatnonzero(improved):
-                    params[k].extend(r_params[k])
-                    nccs[k].extend(r_nccs[k])
-                    times[k].extend(r_times[k])
-                    alphas[k].extend(r_alphas[k])
+                    # drop the restart's seed row (row 0 = the pass's initial
+                    # state = this image's previous final pose, already the
+                    # last row of the existing trajectory)
+                    params[k].extend(r_params[k][1:])
+                    nccs[k].extend(r_nccs[k][1:])
+                    times[k].extend(r_times[k][1:])
+                    alphas[k].extend(r_alphas[k][1:])
             if self.verbose > 0:
                 print(
                     f"Restart pass {restart_idx + 1}: improved "
@@ -671,8 +676,10 @@ class RegistrarBase:
                     flush=True,
                 )
             # stop re-annealing once a pass moves no image's objective by
-            # more than the scheduler's own progress threshold
-            if not (new_ncc > prev_ncc * (1.0 + self.threshold)).any():
+            # more than the scheduler's own progress threshold (ADDITIVE:
+            # NCC is bounded in [-1, 1] and can be <= 0, where a relative
+            # margin would invert the test)
+            if not (new_ncc > prev_ncc + self.threshold).any():
                 break
         runtime = time.perf_counter() - t0
         results = []
@@ -683,7 +690,14 @@ class RegistrarBase:
                 times=np.asarray(times[k], dtype=np.float64),
                 lrs=np.asarray(alphas[k], dtype=np.float64),
             )
-            kwargs = dict(pf_to_af=pf_to_afs[k], runtime=runtime, trajectory=trajectory)
+            kwargs = dict(
+                pf_to_af=pf_to_afs[k], runtime=runtime, trajectory=trajectory,
+                # iterations actually EXECUTED across all passes (a discarded
+                # re-anneal pass costs wall time but leaves no trajectory
+                # rows; per-iteration figures must divide by this, not by
+                # len(trajectory))
+                iters_run=iters_run,
+            )
             if K > 1:
                 kwargs["batch_size"] = K  # wall time is shared by the batch
             results.append(
@@ -802,6 +816,8 @@ class RegistrarBase:
         }
         if "runtime" in kwargs:
             meta["runtime"] = float(kwargs["runtime"])
+        if "iters_run" in kwargs:
+            meta["iters_run"] = int(kwargs["iters_run"])
         if "batch_size" in kwargs:
             # the wall-clock runtime above was shared by a whole batched run
             meta["batch_size"] = int(kwargs["batch_size"])
