@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import sys
-import tempfile
 import time
 from pathlib import Path
 
@@ -29,14 +28,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run(deadline: float | None = None) -> dict:
-    """Cold + warm registration at the reference budget; returns the
-    JSON-ready dict (importable so bench.py can fold these numbers into the
-    driver-recorded line).
+PHANTOM_VERSION = "v2"  # bump when the construction below changes
+KB = 8  # X-rays in the batched-registration phase
 
-    ``deadline`` is an absolute ``time.perf_counter()`` value; the optional
-    phases (median-over-inits, batched registration) are skipped once it is
-    near, so the core cold/warm/mTRE figures always make it out.
+
+def build_phantom() -> tuple[Path, dict]:
+    """Build the deterministic bench phantom, cached on disk.
+
+    The CT volume, the 1436^2 ground-truth X-ray, the KB batched-phase
+    X-rays, the fiducials, and every ground-truth pose are all seeded and
+    deterministic, so they are built ONCE per (version, backend) and reused:
+    the GT renders alone cost ~60 s per bench run otherwise — time the
+    driver's budget cannot spare. Returns (dir, meta) with meta arrays
+    ``gt_pose`` (4,4), ``fids`` (60,3 world mm), ``batch_poses`` (KB,4,4).
     """
     import jax
     import jax.numpy as jnp
@@ -44,12 +48,19 @@ def run(deadline: float | None = None) -> dict:
     from xvr_tpu.geometry import convert
     from xvr_tpu.io import dcmwrite, save_nifti
     from xvr_tpu.io.volumes import read
-    from xvr_tpu.metrics import double_geodesic
-    from xvr_tpu.registrar import RegistrarFixed
     from xvr_tpu.render import Projector
 
-    log(f"device: {jax.devices()[0]}")
-    d = Path(tempfile.mkdtemp(prefix="xvr_bench_reg_"))
+    cache = (
+        Path("~/.cache/xvr_tpu").expanduser()
+        / f"bench_phantom_{PHANTOM_VERSION}_{jax.default_backend()}"
+    )
+    meta_path = cache / "meta.npz"
+    if meta_path.exists():
+        meta = dict(np.load(meta_path))
+        log(f"bench phantom: cache hit ({cache})")
+        return cache, meta
+    cache.mkdir(parents=True, exist_ok=True)
+    d = cache
 
     # ---- synthetic CT. Registration needs coarse-scale ASYMMETRY: a
     # rotation-symmetric body (e.g. a cylinder of small blobs) leaves a flat
@@ -124,6 +135,66 @@ def run(deadline: float | None = None) -> dict:
         sdd=SDD, row_spacing=DELX, col_spacing=DELX,
     )
 
+    # ---- batched-phase X-rays: KB distinct ground-truth poses near the
+    # shared init (the realistic sweep shape: one init strategy, per-image
+    # refinement)
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    brng = np.random.default_rng(11)
+    batch_mats = []
+    for k in range(KB):
+        rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
+        xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
+        pose_k = convert(
+            jnp.asarray([rot_k], jnp.float32), jnp.asarray([xyz_k], jnp.float32),
+            "euler_angles", "ZXY",
+        )
+        batch_mats.append(np.asarray(pose_k.matrix).reshape(4, 4))
+        img_k = np.asarray(gt_proj(pose_k))[0, 0]
+        dcmwrite(
+            d / f"xray_b{k}.dcm", (img_k / img_k.max() * 60000).astype(np.uint16),
+            sdd=SDD, row_spacing=DELX, col_spacing=DELX,
+        )
+
+    # fiducial targets for mTRE (the reference's headline accuracy metric,
+    # src/xvr/metrics/evaluator.py:17-36): random bone points in world mm
+    frng = np.random.default_rng(7)
+    bone = np.argwhere(hu > 600)
+    fids = bone[frng.choice(len(bone), 60, replace=False)].astype(np.float64) * sp - c * sp
+
+    meta = {
+        "gt_pose": np.asarray(gt_pose.matrix, np.float64).reshape(4, 4),
+        "fids": fids,
+        "batch_poses": np.stack(batch_mats),
+        "sdd": np.float64(SDD),
+        "delx": np.float64(DELX),
+    }
+    np.savez(meta_path, **meta)
+    log(f"bench phantom: built and cached ({cache})")
+    return cache, meta
+
+
+def run(deadline: float | None = None) -> dict:
+    """Cold + warm registration at the reference budget; returns the
+    JSON-ready dict (importable so bench.py can fold these numbers into the
+    driver-recorded line).
+
+    ``deadline`` is an absolute ``time.perf_counter()`` value; the optional
+    phases (median-over-inits, batched registration) are skipped once it is
+    near, so the core cold/warm/mTRE figures always make it out.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xvr_tpu.geometry import RigidTransform
+    from xvr_tpu.metrics import double_geodesic
+    from xvr_tpu.registrar import RegistrarFixed
+
+    log(f"device: {jax.devices()[0]}")
+    d, meta = build_phantom()
+    SDD, DELX = float(meta["sdd"]), float(meta["delx"])
+    gt_pose = RigidTransform(jnp.asarray(meta["gt_pose"], jnp.float32).reshape(1, 4, 4))
+    fids = np.asarray(meta["fids"], np.float64)
+
     # ---- register from a model-like init (reference scales/budget). Run
     # TWICE with the same registrar: the first pays the per-stage jit
     # compiles (once per intrinsics/scale combination), the second is the
@@ -137,11 +208,6 @@ def run(deadline: float | None = None) -> dict:
     rot_init = np.asarray(rot0)[0] + np.deg2rad([0.6, -0.5, 0.4])
     xyz_init = np.asarray(xyz0)[0] + np.array([2.0, -3.0, 1.5])
 
-    # fiducial targets for mTRE (the reference's headline accuracy metric,
-    # src/xvr/metrics/evaluator.py:17-36): random bone points in world mm
-    frng = np.random.default_rng(7)
-    bone = np.argwhere(hu > 600)
-    fids = bone[frng.choice(len(bone), 60, replace=False)].astype(np.float64) * sp - c * sp
     # SINGLE-invocation registrar: the default max_restarts=1 folds the
     # objective-gated re-anneal into `run`, so mtre_final_mm below is what
     # one `xvr register` command reaches at the reference budget.
@@ -204,23 +270,13 @@ def run(deadline: float | None = None) -> dict:
     # sweep shape: one init strategy, per-image refinement. Skipped when the
     # deadline is near (the K=8 stage compiles are the cost).
     batch_stats = {}
-    KB = 8
     if time_left() > 10 * warm_s + 60:
-        brng = np.random.default_rng(11)
-        gt_batch = []
-        for k in range(KB):
-            rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
-            xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
-            pose_k = convert(
-                jnp.asarray([rot_k], jnp.float32), jnp.asarray([xyz_k], jnp.float32),
-                "euler_angles", "ZXY",
-            )
-            gt_batch.append(pose_k)
-            img_k = np.asarray(gt_proj(pose_k))[0, 0]
-            dcmwrite(
-                d / f"xray_b{k}.dcm", (img_k / img_k.max() * 60000).astype(np.uint16),
-                sdd=SDD, row_spacing=DELX, col_spacing=DELX,
-            )
+        # the KB X-rays and their ground-truth poses are pre-rendered by
+        # build_phantom (disk-cached alongside the volume)
+        gt_batch = [
+            RigidTransform(jnp.asarray(meta["batch_poses"][k], jnp.float32).reshape(1, 4, 4))
+            for k in range(KB)
+        ]
         batch_files = [d / f"xray_b{k}.dcm" for k in range(KB)]
         t0 = time.perf_counter()
         reg.run_batch(batch_files)  # pays the K=8 stage compiles
@@ -270,6 +326,7 @@ def run(deadline: float | None = None) -> dict:
         "mtre_final_worst_mm": round(float(max(mtre(p) for p in extra_finals)), 3),
         "n_init_spread": len(extra_finals),
         "max_restarts": reg.max_restarts,  # re-anneal is inside the invocation
+        "restart_seeds": reg.restart_seeds,  # multi-start width of each re-anneal
         "dgeo_init_mm": round(dg_init, 2),
         "dgeo_final_mm": round(dg_fin, 2),
         "rot_final_deg": round(np.rad2deg(rg / SDD), 3),

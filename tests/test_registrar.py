@@ -336,6 +336,47 @@ def test_objective_gated_restart(phantom, gt_xray, tmp_path):
 
 
 @pytest.mark.slow
+def test_multistart_restart_never_worse(phantom, gt_xray, tmp_path):
+    """The multi-start re-anneal keeps the per-image ARGMAX-similarity seed,
+    and seed 0 is the unperturbed pose — so even with absurd jitter the
+    invocation can never end on a worse objective than a plain restart, and
+    the bundle records the multi-start settings."""
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = (np.asarray(rot0)[0] + np.deg2rad([2.0, -1.5, 1.0])).tolist()
+    xyz_init = (np.asarray(xyz0)[0] + np.array([4.0, -5.0, 3.0])).tolist()
+
+    def make_reg(seeds, jitter_rot=1.0, jitter_xyz=4.0):
+        return RegistrarFixed(
+            volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+            rot=rot_init, xyz=xyz_init,
+            linearize=False, scales="2", n_itrs="40",
+            reverse_x_axis=False, lr_rot=5e-3, lr_xyz=1.0,
+            patience=3, max_n_plateaus=2, verbose=0, max_restarts=1,
+            restart_seeds=seeds, restart_jitter_rot=jitter_rot,
+            restart_jitter_xyz=jitter_xyz,
+        )
+
+    plain = make_reg(seeds=1).run(xray_path, beta=1.0)
+    # jitter far beyond the basin: the exact seed must still win (or a
+    # jittered one must beat it) — never a regression
+    wild = make_reg(seeds=3, jitter_rot=25.0, jitter_xyz=60.0).run(
+        xray_path, beta=1.0
+    )
+    ncc_plain = plain[5]["trajectory"]["ncc"][-1]
+    ncc_wild = wild[5]["trajectory"]["ncc"][-1]
+    assert ncc_wild >= ncc_plain - 5e-3, (ncc_wild, ncc_plain)
+
+    outdir = make_reg(seeds=3)(xray_path, tmp_path / "ms_bundle")
+    import json
+
+    meta = json.loads((outdir / "parameters.json").read_text())
+    assert meta["optimization"]["restart_seeds"] == 3
+    assert meta["optimization"]["restart_jitter_rot"] == 1.0
+    assert meta["optimization"]["restart_jitter_xyz"] == 4.0
+
+
+@pytest.mark.slow
 def test_run_batch_shapes_and_bundles(phantom, gt_xray, tmp_path):
     """K=2 batched registration: per-image result tuples, per-image bundles."""
     xray_path, gt_pose = gt_xray

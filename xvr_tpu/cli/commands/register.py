@@ -73,6 +73,15 @@ class BaseRegistrar(CategorizedCommand):
         CategorizedOption(["--max_restarts"], default=args.max_restarts, type=int,
                           help="Objective-gated pyramid re-anneals after the first pass (0 = single pass)",
                           category="Optimizer"),
+        CategorizedOption(["--restart_seeds"], default=args.restart_seeds, type=int,
+                          help="Starts per re-anneal: the current pose + S-1 jittered seeds, batched; argmax-similarity wins (1 = plain restart)",
+                          category="Optimizer"),
+        CategorizedOption(["--restart_jitter_rot"], default=args.restart_jitter_rot, type=float,
+                          help="Rotational jitter of re-anneal seeds (degrees)",
+                          category="Optimizer"),
+        CategorizedOption(["--restart_jitter_xyz"], default=args.restart_jitter_xyz, type=float,
+                          help="Translational jitter of re-anneal seeds (mm)",
+                          category="Optimizer"),
         CategorizedOption(["--init_only"], default=args.init_only, is_flag=True,
                           help="Skip refinement entirely; report the initialization",
                           category="Logging"),
@@ -116,7 +125,9 @@ def _base_kwargs(kw):
         convention=kw["convention"], voxel_shift=kw["voxel_shift"],
         lr_rot=kw["lr_rot"], lr_xyz=kw["lr_xyz"], patience=kw["patience"],
         threshold=kw["threshold"], max_n_plateaus=kw["max_n_plateaus"],
-        max_restarts=kw["max_restarts"],
+        max_restarts=kw["max_restarts"], restart_seeds=kw["restart_seeds"],
+        restart_jitter_rot=kw["restart_jitter_rot"],
+        restart_jitter_xyz=kw["restart_jitter_xyz"],
         init_only=kw["init_only"], saveimg=kw["saveimg"], verbose=kw["verbose"],
     )
 

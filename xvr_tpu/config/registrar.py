@@ -51,6 +51,15 @@ class RegistrarArgs:
     # Stage executables are cached, so a restart costs iteration time only.
     # 0 restores the reference's single-pass behavior.
     max_restarts: int = 1
+    # Multi-start width of each re-anneal: the current pose plus S-1
+    # jittered seeds, batched through ONE pyramid pass (a K*S-pose render
+    # costs little more than K poses on the MXU), keeping the per-image
+    # argmax-similarity pose. A single unperturbed re-anneal cannot leave
+    # the basin the first pass stopped in; the spread can. Seed 0 is exact,
+    # so the pass never returns worse than a plain restart. 1 = plain.
+    restart_seeds: int = 4
+    restart_jitter_rot: float = 1.0  # deg, uniform jitter per seed
+    restart_jitter_xyz: float = 4.0  # mm, uniform jitter per seed
 
     # Outputs and chatter.
     init_only: bool = False  # stop after the initial pose (no refinement)

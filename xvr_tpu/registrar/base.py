@@ -116,6 +116,9 @@ class RegistrarBase:
         threshold: float = 1e-4,
         max_n_plateaus: int = 3,
         max_restarts: int = 1,
+        restart_seeds: int = 4,
+        restart_jitter_rot: float = 1.0,
+        restart_jitter_xyz: float = 4.0,
         init_only: bool = False,
         saveimg: bool = False,
         verbose: int = 1,
@@ -158,6 +161,9 @@ class RegistrarBase:
         self.threshold = threshold
         self.max_n_plateaus = max_n_plateaus
         self.max_restarts = max_restarts
+        self.restart_seeds = max(1, int(restart_seeds))
+        self.restart_jitter_rot = restart_jitter_rot
+        self.restart_jitter_xyz = restart_jitter_xyz
 
         self.init_only = init_only
         self.saveimg = saveimg
@@ -639,36 +645,75 @@ class RegistrarBase:
             gt, init_pose, scales, imagesim_cfg
         )
 
-        # Objective-gated re-anneal: rerun the pyramid seeded from the final
-        # pose with fresh Adam moments and a fresh plateau budget, keeping
-        # the new pose per-image only when the measured similarity improved.
-        # Plateau-counted early exit is a high-variance stopping rule (the
-        # reference inherits the same noise, and exposes `register restart`
-        # as a manual second pass); folding the pass in makes one invocation
-        # reach what the two-pass workflow reaches. Stage executables are all
-        # cache hits here, so each pass costs iteration time only.
+        # Objective-gated MULTI-START re-anneal: rerun the pyramid with
+        # ``restart_seeds`` starts per image — the current final pose plus
+        # S-1 jittered copies — batched through ONE pass (a K*S-pose render
+        # costs little more than a K-pose render on the MXU), keeping the
+        # argmax-similarity pose per image only when it improved. Plateau-
+        # counted early exit is a high-variance stopping rule and a single
+        # re-anneal cannot escape the basin it stopped in (the reference
+        # inherits the same noise, and exposes `register restart` as a manual
+        # second pass); seeding a SPREAD turns the re-anneal into a basin
+        # search, which is what actually converts a 2 mm draw into a sub-mm
+        # one. Seed 0 is the unperturbed pose, so the pass is never worse
+        # than a plain restart. Stage executables for the K*S batch compile
+        # once and persist in the stage/XLA caches.
         iters_run = max(len(nccs[k]) - 1 for k in range(K))  # row 0 = initial
+        S = self.restart_seeds if self.max_restarts > 0 else 1
+        gt_ms = jnp.repeat(gt, S, axis=0) if S > 1 else gt
         for restart_idx in range(self.max_restarts):
             prev_ncc = np.asarray([nccs[k][-1] for k in range(K)])
-            r_pose, r_params, r_nccs, r_times, r_alphas = (
-                self.run_test_time_optimization(gt, final_pose, scales, imagesim_cfg)
+            e_rot, e_xyz = final_pose.convert("euler_angles", "ZXY")
+            rot_s = np.repeat(np.asarray(e_rot).reshape(K, -1)[:, :3], S, axis=0)
+            xyz_s = np.repeat(np.asarray(e_xyz).reshape(K, -1)[:, :3], S, axis=0)
+            if S > 1:
+                # deterministic jitter (seeded by pass index): seeds k*S+1..
+                # k*S+S-1 perturb image k's pose; seed k*S is left exact
+                prng = np.random.default_rng(1000 + restart_idx)
+                jit = (np.arange(K * S) % S) != 0
+                rot_s[jit] += np.deg2rad(
+                    prng.uniform(-self.restart_jitter_rot, self.restart_jitter_rot, (int(jit.sum()), 3))
+                )
+                xyz_s[jit] += prng.uniform(
+                    -self.restart_jitter_xyz, self.restart_jitter_xyz, (int(jit.sum()), 3)
+                )
+            seed_pose = convert(
+                jnp.asarray(rot_s, jnp.float32), jnp.asarray(xyz_s, jnp.float32),
+                "euler_angles", "ZXY",
             )
-            new_ncc = np.asarray([r_nccs[k][-1] for k in range(K)])
-            iters_run += max(len(r_nccs[k]) - 1 for k in range(K))
+            r_pose, r_params, r_nccs, r_times, r_alphas = (
+                self.run_test_time_optimization(gt_ms, seed_pose, scales, imagesim_cfg)
+            )
+            fin = np.asarray([r_nccs[j][-1] for j in range(K * S)]).reshape(K, S)
+            best_s = fin.argmax(axis=1)
+            new_ncc = fin[np.arange(K), best_s]
+            iters_run += max(len(r_nccs[j]) - 1 for j in range(K * S))
             improved = new_ncc > prev_ncc
             if improved.any():
                 mats = np.asarray(final_pose.matrix).reshape(K, 4, 4).copy()
-                r_mats = np.asarray(r_pose.matrix).reshape(K, 4, 4)
-                mats[improved] = r_mats[improved]
+                r_mats = np.asarray(r_pose.matrix).reshape(K * S, 4, 4)
+                sel = np.arange(K) * S + best_s
+                mats[improved] = r_mats[sel[improved]]
                 final_pose = RigidTransform(jnp.asarray(mats))
                 for k in np.flatnonzero(improved):
-                    # drop the restart's seed row (row 0 = the pass's initial
-                    # state = this image's previous final pose, already the
-                    # last row of the existing trajectory)
-                    params[k].extend(r_params[k][1:])
-                    nccs[k].extend(r_nccs[k][1:])
-                    times[k].extend(r_times[k][1:])
-                    alphas[k].extend(r_alphas[k][1:])
+                    # extend with the WINNING seed's rows; drop its seed row
+                    # (row 0 = that start's initial state). For a jittered
+                    # winner row 0 is the jittered pose, not the previous
+                    # final, so the recorded trajectory stays truthful about
+                    # where the optimizer actually went — keep it in that
+                    # case so animate shows the hop.
+                    # each list carries one seed-adjacent row (params/times/
+                    # alphas: the seed pose row; nccs: the seed pose's
+                    # pre-step similarity). When the unperturbed seed wins,
+                    # that row duplicates the trajectory's current tail —
+                    # drop it; when a jittered seed wins, keep it so the
+                    # recorded trajectory (and animate) shows the hop.
+                    j = int(k * S + best_s[k])
+                    skip = 1 if best_s[k] == 0 else 0
+                    params[k].extend(r_params[j][skip:])
+                    nccs[k].extend(r_nccs[j][skip:])
+                    times[k].extend(r_times[j][skip:])
+                    alphas[k].extend(r_alphas[j][skip:])
             if self.verbose > 0:
                 print(
                     f"Restart pass {restart_idx + 1}: improved "
@@ -810,6 +855,9 @@ class RegistrarBase:
                 "patience": self.patience,
                 "max_n_plateaus": self.max_n_plateaus,
                 "max_restarts": self.max_restarts,
+                "restart_seeds": self.restart_seeds,
+                "restart_jitter_rot": self.restart_jitter_rot,
+                "restart_jitter_xyz": self.restart_jitter_xyz,
             },
             **{k: v for k, v in self.save_kwargs.items()},
             "pf_to_af": bool(kwargs.get("pf_to_af", False)),
