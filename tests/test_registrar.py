@@ -506,6 +506,30 @@ def test_register_files_groups_mixed_intrinsics(phantom, gt_xray, tmp_path):
 
 
 @pytest.mark.slow
+def test_registrar_siddon_exact_pins_xla_path(phantom, gt_xray, monkeypatch):
+    """--renderer siddon_exact opts out of the kernel-upgrade block even when
+    the fast path is forced: the registrar optimizes through the exact XLA
+    Siddon (autodiff gradients) and still improves the objective."""
+    monkeypatch.setenv("XVR_FORCE_SHEARWARP", "1")
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = (np.asarray(rot0)[0] + np.deg2rad([2.0, -1.5, 1.0])).tolist()
+    xyz_init = (np.asarray(xyz0)[0] + np.array([4.0, -5.0, 3.0])).tolist()
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=rot_init, xyz=xyz_init, renderer="siddon_exact",
+        linearize=False, scales="2", n_itrs="25",
+        reverse_x_axis=False, lr_rot=5e-3, lr_xyz=1.0,
+        verbose=0, max_restarts=0,
+    )
+    out = reg.run(xray_path, beta=1.0)
+    assert reg.renderer == "siddon_exact"
+    assert reg.projector.renderer == "siddon", reg.projector.renderer
+    ncc = out[5]["trajectory"]["ncc"]
+    assert ncc[-1] > ncc[0]
+
+
+@pytest.mark.slow
 def test_siddon_fast_registration_accuracy(phantom, gt_xray, monkeypatch):
     """`--renderer siddon`'s fast path (the eps=0.25-smoothed shear-warp
     trapezoid profile, render/shearwarp.py) must register at least as

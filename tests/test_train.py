@@ -300,6 +300,23 @@ def test_trainer_siddon_fast_path(tiny_dataset, tmp_path):
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
+def test_trainer_siddon_exact_pins_xla_path(tiny_dataset, tmp_path, monkeypatch):
+    """--renderer siddon_exact opts out of every kernel upgrade even where
+    the fast path is forced: the trainer stays on the exact XLA Siddon
+    (autodiff gradients through the DDA scan), the checkpointable config
+    keeps the user's renderer string, and a step trains finitely."""
+    monkeypatch.setenv("XVR_FORCE_SHEARWARP", "1")
+    tr = make_trainer(
+        tiny_dataset, tmp_path / "out_se",
+        renderer="siddon_exact", n_total_itrs=1, n_grad_accum_itrs=1, batch_size=2,
+    )
+    assert all(p.renderer == "siddon" for tup in tr.projectors for p in tup)
+    assert tr.config["renderer"] == "siddon_exact"
+    m = {k: float(v) for k, v in jax.device_get(tr.step(0)).items()}
+    assert np.isfinite(m["loss"])
+
+
 def test_clahe_matches_per_pixel_reference():
     """The MXU half-tile-cell CLAHE must match the straightforward per-pixel
     gather formulation (tolerance = bf16 CDF quantization)."""

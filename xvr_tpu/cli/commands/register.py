@@ -47,8 +47,9 @@ class BaseRegistrar(CategorizedCommand):
                           help="Mirror the detector x-axis (radiologic display convention)",
                           category="Renderer"),
         CategorizedOption(["--renderer"], default=args.renderer,
-                          type=click.Choice(["siddon", "trilinear"]),
-                          help="Ray-integration model for DRR synthesis", category="Renderer"),
+                          type=click.Choice(["siddon", "trilinear", "siddon_exact", "trilinear_exact"]),
+                          help="Ray-integration model for DRR synthesis; *_exact pins the slow exact-model XLA path (no kernel upgrade)",
+                          category="Renderer"),
         CategorizedOption(["--parameterization"], default=args.parameterization, type=str,
                           help="Rotation representation optimized over", category="Optimizer"),
         CategorizedOption(["--convention"], default=args.convention, type=str,

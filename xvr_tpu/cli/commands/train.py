@@ -48,8 +48,9 @@ from ..logging import start_run
 @categorized_option("--delx", required=True, type=float,
                     help="Detector pixel pitch, mm", category="Renderer")
 @categorized_option("--renderer", default=args.renderer,
-                    type=click.Choice(["siddon", "trilinear"]),
-                    help="Ray-integration model for DRR synthesis", category="Renderer")
+                    type=click.Choice(["siddon", "trilinear", "siddon_exact", "trilinear_exact"]),
+                    help="Ray-integration model for DRR synthesis; *_exact pins the slow exact-model XLA path (no kernel upgrade)",
+                    category="Renderer")
 @categorized_option("--orientation", default=args.orientation, type=click.Choice(["AP", "PA"]),
                     help="Anatomical viewing convention for the volumes", category="Renderer")
 @categorized_option("--reverse_x_axis", default=args.reverse_x_axis, is_flag=True,

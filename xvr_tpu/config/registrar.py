@@ -26,7 +26,9 @@ class RegistrarArgs:
 
     # DRR synthesis during refinement.
     reverse_x_axis: bool = False
-    renderer: str = "trilinear"  # or "siddon"; auto-upgrades to MXU paths
+    # "trilinear" | "siddon" auto-upgrade to MXU paths; "*_exact" pins the
+    # exact-model XLA renderer (autodiff gradients, no kernel upgrade)
+    renderer: str = "trilinear"
     voxel_shift: float = 0.0
 
     # Iterative refinement: a multiscale pyramid (detector downscale factors

@@ -26,7 +26,11 @@ class TrainerArgs:
     unit_conversion_factor: float = 1000.0  # head outputs meters -> mm
 
     # --- DRR synthesis ----------------------------------------------------
-    renderer: str = "trilinear"  # or "siddon"; both auto-upgrade to MXU paths
+    # "trilinear" | "siddon" auto-upgrade to the MXU fast paths (tent /
+    # quarter-voxel-smoothed trapezoid profiles with analytic adjoints);
+    # "trilinear_exact" | "siddon_exact" pin the XLA golden renderers (the
+    # exact models, autodiff gradients, orders of magnitude slower)
+    renderer: str = "trilinear"
     orientation: str = "AP"  # anatomical handedness of the detector frame
     reverse_x_axis: bool = False  # radiologic x-flip
 

@@ -182,7 +182,10 @@ class RegistrarBase:
             x0=0.0,
             y0=0.0,
             reverse_x_axis=reverse_x_axis,
-            renderer=renderer,
+            # "<family>_exact" pins the XLA golden renderer (exact models,
+            # autodiff gradients) — the suffix opts out of the kernel-upgrade
+            # block below, which only fires for the bare family names
+            renderer=renderer.removesuffix("_exact"),
             read_kwargs=self.read_kwargs,
             drr_kwargs=self.drr_kwargs,
             **PLACEHOLDER,

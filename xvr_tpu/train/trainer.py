@@ -114,6 +114,17 @@ class Trainer:
         self.config = cfg
         self.mesh = mesh
 
+        # "<family>_exact" pins the XLA golden renderer — the exact
+        # piecewise-constant Siddon / tent trilinear models with autodiff
+        # gradients (subgradients at voxel-boundary crossings, the same
+        # semantics the reference gets from torch autograd through diffdrr,
+        # reference config/trainer.py:9) — and opts out of every TPU kernel
+        # upgrade. Orders of magnitude slower than the fast paths; the
+        # packaged escape hatch when the quarter-voxel smoothing of
+        # `siddon` must be ruled out.
+        self.renderer_exact = renderer.endswith("_exact")
+        renderer = renderer.removesuffix("_exact")
+
         self.outpath = Path(outpath)
         self.outpath.mkdir(parents=True, exist_ok=True)
         self.batch_size = int(batch_size)
@@ -184,6 +195,7 @@ class Trainer:
 
         if (
             renderer in ("trilinear", "siddon")
+            and not self.renderer_exact  # *_exact pins the XLA golden path
             and (
                 jax.default_backend() == "tpu"
                 # shear-warp is plain XLA; XVR_FORCE_SHEARWARP lets CPU tests
