@@ -11,6 +11,12 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
+
+# Help text needs no accelerator: pin CPU before anything imports further
+# jax internals, so doc builds never contend for (or stall) the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import click
 from click.testing import CliRunner
 

@@ -61,7 +61,11 @@ class RegistrarArgs:
     # so the pass never returns worse than a plain restart. 1 = plain.
     restart_seeds: int = 4
     restart_jitter_rot: float = 1.0  # deg, uniform jitter per seed
-    restart_jitter_xyz: float = 4.0  # mm, uniform jitter per seed
+    # mm, uniform jitter per seed — applied in-plane only (the beam-axis
+    # translation is never jittered: depth is near-unobservable in the
+    # similarity, so a depth-shifted seed could win by noise while moving
+    # mm of true 3D error)
+    restart_jitter_xyz: float = 4.0
 
     # Outputs and chatter.
     init_only: bool = False  # stop after the initial pose (no refinement)
