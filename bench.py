@@ -172,16 +172,20 @@ def main():
         raymarch_trilinear_shearwarp,
     )
 
-    perm = choose_permutation_for_pose(np.eye(3), np.asarray(affinv))
+    affinv_h = np.asarray(affinv)
+    mark("affinv to host")
+    perm = choose_permutation_for_pose(np.eye(3), affinv_h)
     B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
     # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
     prepared = prepare_shearwarp(density, perm)
+    mark("prepare dispatched")
     jax.block_until_ready(prepared)
     mark("prepare_shearwarp")
-    ww = measured_warp_window(
-        np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm, (H, H)
-    )
+    psrc_h, ptgt_h = np.asarray(psrc), np.asarray(ptgt)
+    mark("probe rays to host")
+    ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H))
     ww = int(-(-ww // 8) * 8)
+    mark("warp window measured")
     log(f"measured warp window: {ww}")
 
     def timed_windows(run_one, batch, name, n_windows, n_iter):

@@ -61,10 +61,10 @@ class RegistrarArgs:
     # so the pass never returns worse than a plain restart. 1 = plain.
     restart_seeds: int = 4
     restart_jitter_rot: float = 1.0  # deg, uniform jitter per seed
-    # mm, uniform jitter per seed — applied in-plane only (the beam-axis
-    # translation is never jittered: depth is near-unobservable in the
-    # similarity, so a depth-shifted seed could win by noise while moving
-    # mm of true 3D error)
+    # mm, uniform jitter per seed (all three camera axes: even beam-depth
+    # moves are weakly observable through cone-beam magnification, and a
+    # jittered seed only wins the argmax by a MATERIAL margin — the plateau
+    # threshold — so noise ties can't displace the unperturbed continuation)
     restart_jitter_xyz: float = 4.0
 
     # Outputs and chatter.

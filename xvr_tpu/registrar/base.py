@@ -701,16 +701,9 @@ class RegistrarBase:
                 rot_s[jit] += np.deg2rad(
                     prng.uniform(-self.restart_jitter_rot, self.restart_jitter_rot, (int(jit.sum()), 3))
                 )
-                xyz_jit = prng.uniform(
+                xyz_s[jit] += prng.uniform(
                     -self.restart_jitter_xyz, self.restart_jitter_xyz, (int(jit.sum()), 3)
                 )
-                # never jitter the beam-axis (camera-frame y) translation:
-                # depth is near-unobservable in the image similarity, so a
-                # depth-shifted seed can win the argmax by pixel noise while
-                # silently moving mm of 3D error. In-plane + rotational
-                # spread is what drives basin structure anyway.
-                xyz_jit[:, 1] = 0.0
-                xyz_s[jit] += xyz_jit
             seed_pose = convert(
                 jnp.asarray(rot_s, jnp.float32), jnp.asarray(xyz_s, jnp.float32),
                 "euler_angles", "ZXY",
@@ -720,11 +713,14 @@ class RegistrarBase:
             )
             fin = np.asarray([r_nccs[j][-1] for j in range(K * S)]).reshape(K, S)
             # a jittered start must beat the unperturbed continuation by a
-            # MATERIAL margin to win: near-degenerate pose directions tie the
-            # similarity to within noise while differing by mm of 3D error,
-            # and the unperturbed seed is the known-safe default. The plateau
-            # threshold is exactly the engine's notion of "material" (additive
-            # — NCC is bounded in [-1, 1]).
+            # MATERIAL margin to win: near-degenerate pose directions (depth
+            # along the beam above all) tie the similarity to within noise
+            # while differing by mm of 3D error, and the unperturbed seed is
+            # the known-safe default. Material NCC gains DO track accuracy —
+            # cone-beam magnification observes even depth, weakly — so the
+            # handicap only filters the noise ties. The plateau threshold is
+            # exactly the engine's notion of "material" (additive — NCC is
+            # bounded in [-1, 1]).
             handicapped = fin.copy()
             handicapped[:, 1:] -= self.threshold
             best_s = handicapped.argmax(axis=1)
