@@ -131,7 +131,11 @@ def main():
     density = transform_hu_to_density(vol.data, 2.0)
     jax.block_until_ready(density)
     mark("volume prep")
-    affinv = vol.affine_inverse
+    # host-side affine inverse: the device round-trip (inverse executable +
+    # 4x4 readback) is one more draw in the tunnel's first-dispatch latency
+    # lottery (observed 127 s once); the affine was BUILT in NumPy
+    affinv_h = np.linalg.inv(aff).astype(np.float32)
+    affinv = jnp.asarray(affinv_h)
     det = Detector(sdd=1020.0, height=H, width=H, delx=2.0, dely=2.0)
 
     # NOTE: raw detector rays (no orientation reorient) -> alpha ~ 0 views
@@ -155,14 +159,24 @@ def main():
         [ranges["txmin"], ranges["tymax"], ranges["tzmax"]],
         [ranges["txmax"], ranges["tymax"], ranges["tzmin"]],
     ]
-    probe = convert(
-        np.asarray([r for r in corners for _ in t_corners], np.float32),
-        np.asarray(t_corners * len(corners), np.float32),
-        "euler_angles", "ZXY", degrees=True,
-    )
-    psrc, ptgt = det.rays(probe)
-    jax.block_until_ready((psrc, ptgt))
-    mark("probe rays")
+    # probe pose matrices in pure NumPy (ZXY intrinsic camera-frame
+    # convention, M = [R | R @ xyz] — mirrors geometry.convert) and
+    # host-side rays: window sizing needs no device work at all
+    def _pose_np(rot_deg, xyz):
+        a, b, g = np.deg2rad(np.asarray(rot_deg, np.float64))
+        ca, sa, cb, sb, cg, sg = np.cos(a), np.sin(a), np.cos(b), np.sin(b), np.cos(g), np.sin(g)
+        Rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
+        Rx = np.array([[1, 0, 0], [0, cb, -sb], [0, sb, cb]])
+        Ry = np.array([[cg, 0, sg], [0, 1, 0], [-sg, 0, cg]])
+        R = Rz @ Rx @ Ry
+        M = np.eye(4)
+        M[:3, :3] = R
+        M[:3, 3] = R @ np.asarray(xyz, np.float64)
+        return M
+
+    probe_M = np.stack([_pose_np(r, t) for r in corners for t in t_corners])
+    psrc_h, ptgt_h = det.rays_numpy(probe_M)
+    mark("probe rays (host)")
 
     from xvr_tpu.render.pallas import choose_permutation_for_pose
     from xvr_tpu.render.shearwarp import (

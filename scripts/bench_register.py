@@ -340,6 +340,9 @@ def run(deadline: float | None = None) -> dict:
 
 
 def main():
+    from xvr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # bench.py does this for the in-process path
     print(json.dumps(run()))
 
 

@@ -551,10 +551,12 @@ class RegistrarBase:
             if self.verbose > 0:
                 done_str = "/".join(str(int(n)) for n in n_done)
                 ncc_str = "/".join(f"{float(v):.4f}" for v in np.asarray(final_ncc))
+                win = proj.shearwarp_window or proj.pallas_window
                 print(
                     f"Stage {stage_idx}: {done_str}/{n_itr} itrs @ {proj.detector.height}x"
                     f"{proj.detector.width}, ncc={ncc_str}, "
-                    f"{per_itr * 1e3:.1f} ms/itr",
+                    f"{per_itr * 1e3:.1f} ms/itr"
+                    + (f", window={win}" if win else ""),
                     flush=True,
                 )
 

@@ -14,7 +14,11 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-_MIN_COMPILE_SECS = 5.0  # don't bother persisting trivial executables
+# Persist anything that took >= 1 s to compile. jax's 5 s default leaves the
+# coarse pyramid stages (~4 s compiles) unwritten, so every fresh process
+# recompiles them through the tunnel; sub-second op-by-op dispatches stay
+# unpersisted to keep the cache from filling with trivia.
+_MIN_COMPILE_SECS = 1.0
 
 
 def enable_compilation_cache() -> Path | None:
@@ -31,6 +35,14 @@ def enable_compilation_cache() -> Path | None:
 
         jax.config.update("jax_compilation_cache_dir", str(cachedir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", _MIN_COMPILE_SECS)
+        try:
+            # one WARNING line naming the first-differing cache-key field on
+            # every persistent-cache miss: cross-process misses on supposedly
+            # deterministic HLO (stage executables) are bugs, and this is the
+            # only way to see WHY a key changed
+            jax.config.update("jax_explain_cache_misses", True)
+        except AttributeError:
+            pass
     except (OSError, AttributeError):  # read-only FS or an older jax
         return None
     return cachedir
