@@ -107,7 +107,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from xvr_tpu.geometry import Detector, convert
+    from xvr_tpu.geometry import Detector
     from xvr_tpu.render.volume import Volume, transform_hu_to_density
     from xvr_tpu.train.sampler import get_random_pose
     from xvr_tpu.utils.cache import enable_compilation_cache
@@ -186,8 +186,6 @@ def main():
         raymarch_trilinear_shearwarp,
     )
 
-    affinv_h = np.asarray(affinv)
-    mark("affinv to host")
     perm = choose_permutation_for_pose(np.eye(3), affinv_h)
     B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
     # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
@@ -195,8 +193,6 @@ def main():
     mark("prepare dispatched")
     jax.block_until_ready(prepared)
     mark("prepare_shearwarp")
-    psrc_h, ptgt_h = np.asarray(psrc), np.asarray(ptgt)
-    mark("probe rays to host")
     ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H))
     ww = int(-(-ww // 8) * 8)
     mark("warp window measured")
@@ -455,12 +451,11 @@ def main():
         aff512[:3, 3] = -(N2 - 1) / 2.0 * sp512
         vol512 = Volume(data=jnp.asarray(hu512), affine=jnp.asarray(aff512))
         density512 = transform_hu_to_density(vol512.data, 2.0)
-        affinv512 = vol512.affine_inverse
+        affinv512_h = np.linalg.inv(aff512).astype(np.float32)
+        affinv512 = jnp.asarray(affinv512_h)
         prepared512 = prepare_shearwarp(density512, perm)
         jax.block_until_ready(prepared512)
-        ww512 = measured_warp_window(
-            np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv512), perm, (H, H)
-        )
+        ww512 = measured_warp_window(psrc_h, ptgt_h, affinv512_h, perm, (H, H))
         ww512 = int(-(-ww512 // 8) * 8)
         B512 = 64
 
@@ -497,8 +492,7 @@ def main():
         packed = pack_density(density, perm)
         jax.block_until_ready(packed[0])
         vol_shape = tuple(int(density.shape[a]) for a in perm)
-        margs = (np.asarray(psrc), np.asarray(ptgt), np.asarray(affinv), perm,
-                 (H, H), vol_shape)
+        margs = (psrc_h, ptgt_h, affinv_h, perm, (H, H), vol_shape)
         span_det = measured_window_span(*margs)
         span_remap = measured_window_span(*margs, remap=True)
         w_det = int(-(-span_det // 8) * 8)
