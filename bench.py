@@ -193,7 +193,7 @@ def main():
     mark("prepare dispatched")
     jax.block_until_ready(prepared)
     mark("prepare_shearwarp")
-    ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H))
+    ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H), host=True)
     ww = int(-(-ww // 8) * 8)
     mark("warp window measured")
     log(f"measured warp window: {ww}")
@@ -455,7 +455,7 @@ def main():
         affinv512 = jnp.asarray(affinv512_h)
         prepared512 = prepare_shearwarp(density512, perm)
         jax.block_until_ready(prepared512)
-        ww512 = measured_warp_window(psrc_h, ptgt_h, affinv512_h, perm, (H, H))
+        ww512 = measured_warp_window(psrc_h, ptgt_h, affinv512_h, perm, (H, H), host=True)
         ww512 = int(-(-ww512 // 8) * 8)
         B512 = 64
 

@@ -56,6 +56,17 @@ def scene():
     return density, affinv, det, src, tgt, perm, ref
 
 
+def test_warp_window_host_matches_device(scene):
+    """The pure-NumPy window-span twin (bench setup path) must agree with the
+    device measurement in both ray layouts."""
+    density, affinv, det, src, tgt, perm, ref = scene
+    args = (np.asarray(src), np.asarray(tgt), np.asarray(affinv), perm, (H, H))
+    for remap in (False, True):
+        w_dev = measured_warp_window(*args, remap=remap)
+        w_host = measured_warp_window(*args, remap=remap, host=True)
+        assert w_host == w_dev, (remap, w_host, w_dev)
+
+
 def test_forward_matches_golden(scene):
     density, affinv, det, src, tgt, perm, ref = scene
     ww = measured_warp_window(

@@ -751,6 +751,51 @@ def _warp_window_span(source, target, affine_inverse, *, perm, det_shape, Iu, re
     return jnp.max(jnp.where(live, small - big, 0.0))
 
 
+def _warp_window_span_np(source, target, affine_inverse, *, perm, det_shape, Iu, remap):
+    """Pure-NumPy twin of :func:`_warp_window_span` for one-shot host
+    measurements (bench setup): the device version is op-by-op jnp — dozens
+    of executable dispatches, each exposed to the tunnel's first-dispatch
+    latency lottery (observed a 260 s stall on exactly this call)."""
+    Hd, Wdet = det_shape
+    A = np.asarray(affine_inverse, np.float64)
+    s = np.asarray(source, np.float64) @ A[:3, :3].T + A[:3, 3]
+    t = np.asarray(target, np.float64) @ A[:3, :3].T + A[:3, 3]
+    d = t - np.broadcast_to(s, t.shape)
+    march, win, lane = perm
+    d0 = np.where(np.abs(d[..., march]) < 1e-6, 1e-6, d[..., march])
+    u = d[..., win] / d0  # (B, R)
+    lo, hi = u.min(axis=1), u.max(axis=1)
+    step = np.maximum(hi - lo, 1e-6) / (Iu - 5)
+    uc = ((u - (lo - 2.0 * step)[:, None]) / step[:, None]).reshape(-1, Hd, Wdet)
+    if remap:
+        pad = _shear_pad(det_shape)
+        shift = np.clip(
+            _warp_shear_shift(uc.reshape(-1, Hd * Wdet), det_shape, xp=np), 0, pad
+        ).astype(np.int64)
+        B = uc.shape[0]
+        b_ix = np.arange(B)[:, None, None]
+        r_ix = np.arange(Hd)[None, :, None] + shift[:, None, :]
+        c_ix = np.broadcast_to(np.arange(Wdet)[None, None, :], (B, Hd, Wdet))
+        uc_s = np.zeros((B, Hd + pad, Wdet), uc.dtype)
+        vmask = np.zeros((B, Hd + pad, Wdet), bool)
+        uc_s[b_ix, r_ix, c_ix] = uc
+        vmask[b_ix, r_ix, c_ix] = True
+        uc, Hd = uc_s, Hd + pad
+    else:
+        vmask = np.ones_like(uc, dtype=bool)
+    ph, pw = (-Hd) % SUB, (-Wdet) % LANE
+    if ph or pw:
+        uc = np.pad(uc, ((0, 0), (0, ph), (0, pw)))
+        vmask = np.pad(vmask, ((0, 0), (0, ph), (0, pw)))
+    nh, nw = uc.shape[1] // SUB, uc.shape[2] // LANE
+    tiles = uc.reshape(-1, nh, SUB, nw, LANE)
+    tv = vmask.reshape(-1, nh, SUB, nw, LANE)
+    big = np.where(tv, tiles, np.inf).min(axis=(2, 4))
+    small = np.where(tv, tiles, -np.inf).max(axis=(2, 4))
+    live = tv.any(axis=(2, 4))
+    return float(np.max(np.where(live, small - big, 0.0)))
+
+
 def measured_warp_window(
     source,
     target,
@@ -759,15 +804,24 @@ def measured_warp_window(
     det_shape: tuple[int, int],
     grid_shape: tuple[int, int] | None = None,
     remap: bool = False,
+    host: bool = False,
 ) -> int:
     """EXACT per-tile slope-row span (grid cells) of the final warp for these
     rays — the ``warp_window`` needed so no tile's gather window clips.
-    Accepts NumPy or device arrays; the measurement itself runs on device
-    (same contract as :func:`xvr_tpu.render.pallas.measured_window_span`)."""
+    Accepts NumPy or device arrays; the measurement runs on device (same
+    contract as :func:`xvr_tpu.render.pallas.measured_window_span`) unless
+    ``host=True``, which runs the pure-NumPy twin — right for one-shot
+    measurements over small probe sets (bench setup), wrong inside the
+    registrar's per-stage loop (K x 16 probes at full resolution dominate
+    warm batched registration on the host)."""
     if grid_shape is None:
         grid_shape = default_grid_shape(det_shape)
-    span = _warp_window_span(
-        jnp.asarray(source), jnp.asarray(target), jnp.asarray(affine_inverse),
+    span_fn = _warp_window_span_np if host else _warp_window_span
+    args = (source, target, affine_inverse) if host else (
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(affine_inverse)
+    )
+    span = span_fn(
+        *args,
         perm=tuple(int(p) for p in perm),
         det_shape=(int(det_shape[0]), int(det_shape[1])),
         Iu=int(grid_shape[0]), remap=bool(remap),
