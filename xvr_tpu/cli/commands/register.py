@@ -75,7 +75,7 @@ class BaseRegistrar(CategorizedCommand):
                           help="Objective-gated pyramid re-anneals after the first pass (0 = single pass)",
                           category="Optimizer"),
         CategorizedOption(["--restart_seeds"], default=args.restart_seeds, type=int,
-                          help="Starts per re-anneal: the current pose + S-1 jittered seeds, batched; argmax-similarity wins (1 = plain restart)",
+                          help="Starts per pyramid pass: the current pose + S-1 jittered seeds, batched; argmax-similarity wins (1 = single-start)",
                           category="Optimizer"),
         CategorizedOption(["--restart_jitter_rot"], default=args.restart_jitter_rot, type=float,
                           help="Rotational jitter of re-anneal seeds (degrees)",

@@ -53,12 +53,14 @@ class RegistrarArgs:
     # Stage executables are cached, so a restart costs iteration time only.
     # 0 restores the reference's single-pass behavior.
     max_restarts: int = 1
-    # Multi-start width of each re-anneal: the current pose plus S-1
-    # jittered seeds, batched through ONE pyramid pass (a K*S-pose render
-    # costs little more than K poses on the MXU), keeping the per-image
-    # argmax-similarity pose. A single unperturbed re-anneal cannot leave
-    # the basin the first pass stopped in; the spread can. Seed 0 is exact,
-    # so the pass never returns worse than a plain restart. 1 = plain.
+    # Multi-start width of EVERY pyramid pass (the first pass and each
+    # re-anneal): the current pose plus S-1 jittered seeds, batched through
+    # ONE pass (a K*S-pose render costs little more than K poses on the MXU,
+    # and all passes share the same stage executables), keeping the
+    # per-image argmax-similarity pose. A single-start pass cannot leave the
+    # basin its init lands in; the spread can. Seed 0 is exact and a
+    # jittered winner must clear the plateau threshold, so each pass never
+    # returns worse than its single-start counterpart. 1 = single-start.
     restart_seeds: int = 4
     restart_jitter_rot: float = 1.0  # deg, uniform jitter per seed
     # mm, uniform jitter per seed (all three camera axes: even beam-depth

@@ -670,35 +670,31 @@ class RegistrarBase:
 
         t0 = time.perf_counter()
         imagesim_cfg = (mncc_patch_size, gncc_patch_size, sigma, beta)
-        final_pose, params, nccs, times, alphas = self.run_test_time_optimization(
-            gt, init_pose, scales, imagesim_cfg
-        )
 
-        # Objective-gated MULTI-START re-anneal: rerun the pyramid with
-        # ``restart_seeds`` starts per image — the current final pose plus
-        # S-1 jittered copies — batched through ONE pass (a K*S-pose render
-        # costs little more than a K-pose render on the MXU), keeping the
-        # argmax-similarity pose per image only when it improved. Plateau-
-        # counted early exit is a high-variance stopping rule and a single
-        # re-anneal cannot escape the basin it stopped in (the reference
-        # inherits the same noise, and exposes `register restart` as a manual
-        # second pass); seeding a SPREAD turns the re-anneal into a basin
-        # search, which is what actually converts a 2 mm draw into a sub-mm
-        # one. Seed 0 is the unperturbed pose, so the pass is never worse
-        # than a plain restart. Stage executables for the K*S batch compile
-        # once and persist in the stage/XLA caches.
-        iters_run = max(len(nccs[k]) - 1 for k in range(K))  # row 0 = initial
-        S = self.restart_seeds if self.max_restarts > 0 else 1
+        # MULTI-START optimization: every pass — the first included — runs
+        # ``restart_seeds`` starts per image (the current pose plus S-1
+        # jittered copies), batched through one pyramid. A K*S-pose render
+        # costs little more than K poses on the MXU, and because pass 1 and
+        # every re-anneal share the same K*S batch shape they share stage
+        # executables — 3 per scale set instead of 6, at ~20 s per
+        # executable load through a remote-TPU tunnel. Seed 0 of every pass
+        # is the unperturbed pose and a jittered start must win the argmax
+        # by the plateau threshold, so each pass can never end worse than
+        # its single-start counterpart; the spread is what converts the
+        # ~2 mm draws that plateau-counted early exit (a high-variance
+        # stopping rule the reference inherits, exposing `register restart`
+        # as a manual second pass) leaves behind into sub-mm finals.
+        S = self.restart_seeds
         gt_ms = jnp.repeat(gt, S, axis=0) if S > 1 else gt
-        for restart_idx in range(self.max_restarts):
-            prev_ncc = np.asarray([nccs[k][-1] for k in range(K)])
-            e_rot, e_xyz = final_pose.convert("euler_angles", "ZXY")
+
+        def _seed_poses(base_pose, pass_idx):
+            e_rot, e_xyz = base_pose.convert("euler_angles", "ZXY")
             rot_s = np.repeat(np.asarray(e_rot).reshape(K, -1)[:, :3], S, axis=0)
             xyz_s = np.repeat(np.asarray(e_xyz).reshape(K, -1)[:, :3], S, axis=0)
             if S > 1:
                 # deterministic jitter (seeded by pass index): seeds k*S+1..
                 # k*S+S-1 perturb image k's pose; seed k*S is left exact
-                prng = np.random.default_rng(1000 + restart_idx)
+                prng = np.random.default_rng(1000 + pass_idx)
                 jit = (np.arange(K * S) % S) != 0
                 rot_s[jit] += np.deg2rad(
                     prng.uniform(-self.restart_jitter_rot, self.restart_jitter_rot, (int(jit.sum()), 3))
@@ -706,27 +702,60 @@ class RegistrarBase:
                 xyz_s[jit] += prng.uniform(
                     -self.restart_jitter_xyz, self.restart_jitter_xyz, (int(jit.sum()), 3)
                 )
-            seed_pose = convert(
+            return convert(
                 jnp.asarray(rot_s, jnp.float32), jnp.asarray(xyz_s, jnp.float32),
                 "euler_angles", "ZXY",
             )
-            r_pose, r_params, r_nccs, r_times, r_alphas = (
-                self.run_test_time_optimization(gt_ms, seed_pose, scales, imagesim_cfg)
-            )
+
+        def _select(r_nccs):
+            """Per-image argmax over seeds, with the unperturbed seed as the
+            handicap favorite: a jittered start must win by a MATERIAL
+            margin, because near-degenerate pose directions (depth along the
+            beam above all) tie the similarity to within noise while
+            differing by mm of 3D error. Material NCC gains DO track
+            accuracy — cone-beam magnification observes even depth, weakly —
+            so the handicap only filters the noise ties. The plateau
+            threshold is exactly the engine's notion of "material" (additive
+            — NCC is bounded in [-1, 1])."""
             fin = np.asarray([r_nccs[j][-1] for j in range(K * S)]).reshape(K, S)
-            # a jittered start must beat the unperturbed continuation by a
-            # MATERIAL margin to win: near-degenerate pose directions (depth
-            # along the beam above all) tie the similarity to within noise
-            # while differing by mm of 3D error, and the unperturbed seed is
-            # the known-safe default. Material NCC gains DO track accuracy —
-            # cone-beam magnification observes even depth, weakly — so the
-            # handicap only filters the noise ties. The plateau threshold is
-            # exactly the engine's notion of "material" (additive — NCC is
-            # bounded in [-1, 1]).
             handicapped = fin.copy()
             handicapped[:, 1:] -= self.threshold
             best_s = handicapped.argmax(axis=1)
-            new_ncc = fin[np.arange(K), best_s]
+            return best_s, fin[np.arange(K), best_s]
+
+        # ---- pass 1: multi-start from the initial poses -------------------
+        r_pose, r_params, r_nccs, r_times, r_alphas = (
+            self.run_test_time_optimization(
+                gt_ms, _seed_poses(init_pose, 999), scales, imagesim_cfg
+            )
+        )
+        best_s, cur_ncc = _select(r_nccs)
+        sel = np.arange(K) * S + best_s
+        final_pose = RigidTransform(
+            jnp.asarray(np.asarray(r_pose.matrix).reshape(K * S, 4, 4)[sel])
+        )
+        # per-image records = the winning seed's trajectory. Row 0 is that
+        # start's initial state: the true init for seed 0, the jittered pose
+        # for a jittered winner (the bundle records the true init separately;
+        # the trajectory stays truthful about where the optimizer went).
+        params, nccs, times, alphas = [], [], [], []
+        for k in range(K):
+            j = int(k * S + best_s[k])
+            params.append(list(r_params[j]))
+            nccs.append(list(r_nccs[j]))
+            times.append(list(r_times[j]))
+            alphas.append(list(r_alphas[j]))
+        iters_run = max(len(r_nccs[j]) - 1 for j in range(K * S))
+
+        # ---- objective-gated re-anneal passes ------------------------------
+        for restart_idx in range(self.max_restarts):
+            prev_ncc = np.asarray([nccs[k][-1] for k in range(K)])
+            r_pose, r_params, r_nccs, r_times, r_alphas = (
+                self.run_test_time_optimization(
+                    gt_ms, _seed_poses(final_pose, restart_idx), scales, imagesim_cfg
+                )
+            )
+            best_s, new_ncc = _select(r_nccs)
             iters_run += max(len(r_nccs[j]) - 1 for j in range(K * S))
             improved = new_ncc > prev_ncc
             if improved.any():
