@@ -243,6 +243,7 @@ def test_convert_register_evaluate_loop(tmp_path):
     assert mtre < 1.0, f"registration did not reach sub-mm: {mtre} (init {mtre_init})"
     assert mtre < mtre_init / 3
 
+@pytest.mark.slow
 def test_validate_convention_script(tmp_path):
     """scripts/validate_convention.py (VERDICT r2 #10): on the synthetic
     fixture the stored pose must reproduce the converted X-ray (high mNCC),

@@ -463,6 +463,16 @@ class RegistrarBase:
 
         step_size_scalar = 1.0
         final_ncc = None
+        # Window-probe envelope: per-stage optimizer drift (+-15 deg/30 mm)
+        # PLUS the configured restart jitter. The memoized pass-1 windows are
+        # reused verbatim on restart passes, whose seeds scatter around the
+        # pass-1 final pose by restart_jitter_rot/xyz — with a large jitter
+        # (e.g. 25 deg/60 mm in the multistart tests) an envelope sized for
+        # drift alone would let the warp/Pallas window silently clip ray
+        # accumulation on those passes.
+        will_jitter = self.restart_seeds > 1 or self.max_restarts > 0
+        probe_rot = 15.0 + (self.restart_jitter_rot if will_jitter else 0.0)
+        probe_t = 30.0 + (self.restart_jitter_xyz if will_jitter else 0.0)
         for stage_idx, (scale, n_itr) in enumerate(zip(scales, self.n_itrs), start=1):
             proj = self.projector.rescale_detector(scale)
             # Per-stage kernel windows are measured from the CURRENT pose —
@@ -471,9 +481,8 @@ class RegistrarBase:
             # quantum, changing the stage's static HLO and defeating the
             # persistent compilation cache (observed: 3 restart-stage
             # recompiles per fresh process, ~30 s each through the tunnel).
-            # Measure ONCE per (stage, detector) from the first pass's pose
-            # — whose +-15 deg / +-30 mm drift probes dwarf the restart
-            # jitter (default 1 deg / 4 mm) — and reuse on later passes.
+            # Measure ONCE per (stage, detector) from the first pass's pose,
+            # over the drift+jitter envelope above, and reuse on later passes.
             wkey = (stage_idx, proj.detector.height, proj.detector.width)
             cached_w = getattr(self, "_pass_windows", {}).get(wkey)
             if cached_w is not None:
@@ -491,7 +500,9 @@ class RegistrarBase:
                     rot, xyz, parameterization=self.parameterization,
                     convention=self.convention,
                 )
-                proj = proj.tuned_for(_drift_probes(pose_now), quantum=16)
+                proj = proj.tuned_for(
+                    _drift_probes(pose_now, probe_rot, probe_t), quantum=16
+                )
                 self._pass_windows[wkey] = (proj.pallas_window, proj.pallas_remap)
             elif proj.renderer.endswith("_fast"):
                 # per-stage warp window for the shear-warp forward (the
@@ -502,7 +513,7 @@ class RegistrarBase:
                     rot, xyz, parameterization=self.parameterization,
                     convention=self.convention,
                 )
-                probes = _drift_probes(pose_now)
+                probes = _drift_probes(pose_now, probe_rot, probe_t)
                 # ray generation AND the span measurement run on device (the
                 # host NumPy version dominated warm batched registration:
                 # K x 16 probes x stage-resolution rays per stage)
@@ -551,7 +562,15 @@ class RegistrarBase:
             if self.verbose > 0:
                 done_str = "/".join(str(int(n)) for n in n_done)
                 ncc_str = "/".join(f"{float(v):.4f}" for v in np.asarray(final_ncc))
-                win = proj.shearwarp_window or proj.pallas_window
+                # window by ACTIVE renderer (shearwarp_window defaults to 48,
+                # so falling back through `or` would mislabel the Pallas/XLA
+                # paths with a warp window they never use)
+                if proj.renderer.endswith(("_fast", "_shearwarp")):
+                    win = proj.shearwarp_window
+                elif proj.renderer == "trilinear_pallas":
+                    win = proj.pallas_window
+                else:
+                    win = None
                 print(
                     f"Stage {stage_idx}: {done_str}/{n_itr} itrs @ {proj.detector.height}x"
                     f"{proj.detector.width}, ncc={ncc_str}, "
