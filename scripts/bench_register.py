@@ -30,6 +30,11 @@ def log(*a):
 
 PHANTOM_VERSION = "v2"  # bump when the construction below changes
 KB = 8  # X-rays in the batched-registration phase
+N_INIT_SPREAD = 8  # total inits in the accuracy-spread phase (main + jittered)
+
+# the most recent run()'s registrar, exposed so later bench sections
+# (bench_flagship) can share its compiled pyramid-stage executables
+LAST_REGISTRAR = None
 
 
 def build_phantom() -> tuple[Path, dict]:
@@ -217,7 +222,12 @@ def run(deadline: float | None = None) -> dict:
         linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
         reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
         patience=10, max_n_plateaus=3, verbose=1,
+        # wide basin search at scale 24 (nearly free on the MXU): targets
+        # the worst-case tail of the final-mTRE distribution
+        coarse_seeds=16,
     )
+    global LAST_REGISTRAR
+    LAST_REGISTRAR = reg
     results = {}
     compiles = {}
     for tag in ("cold", "warm"):
@@ -235,9 +245,12 @@ def run(deadline: float | None = None) -> dict:
     # Accuracy over a SPREAD of initializations: a single trajectory with
     # plateau-counted early exit is a high-variance observable (run-to-run
     # reassociation noise alone moves the final mTRE by >1 mm on this
-    # phantom); the median over perturbed inits is the stable figure.
+    # phantom); the median over perturbed inits is the stable figure and the
+    # WORST over the spread is the claim-shaped one (the reference says
+    # "submillimeter", not "submillimeter in the median" — README.md:20).
+    # Extra inits reuse the compiled stages, so each costs ~one warm run.
     extra_finals = [final_pose]
-    for seed in (1, 2):
+    for seed in range(1, N_INIT_SPREAD):
         if time_left() < 4 * warm_s:
             log(f"bench_register: skipping extra-init {seed} (deadline near)")
             break
@@ -249,6 +262,7 @@ def run(deadline: float | None = None) -> dict:
             linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
             reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
             patience=10, max_n_plateaus=3, verbose=0,
+            coarse_seeds=16,
         )
         reg_i._stage_cache = reg._stage_cache  # reuse compiled stages
         extra_finals.append(reg_i.run(d / "xray.dcm")[4])

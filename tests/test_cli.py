@@ -156,3 +156,45 @@ def test_cli_register_directory_glob(workdir, tmp_path):
     # init-only bundles record the initial pose and no final pose
     d = np.load(res / "a" / "parameters.npz")
     assert "init_pose" in d.files and "final_pose" not in d.files
+
+
+def test_register_cli_defaults_match_reference():
+    """The CLI surface is the reference contract: every register subcommand
+    must default to the reference schedule (n_itrs 500, linearize off,
+    reverse_x_axis off — reference src/xvr/config/registrar.py:5-38), i.e.
+    the API-level clinical presets (clinical_defaults: n_itrs "100",
+    linearize/reverse_x_axis True) must NOT leak through click. The help
+    epilog documents the divergence."""
+    from xvr_tpu.cli.commands.register import dicom, fixed, model, restart
+
+    for cmd in (model, dicom, fixed, restart):
+        defaults = {p.name: p.default for p in cmd.params}
+        assert defaults["n_itrs"] == "500", (cmd.name, defaults["n_itrs"])
+        assert defaults["linearize"] is False, cmd.name
+        assert defaults["reverse_x_axis"] is False, cmd.name
+        assert defaults["scales"] == "8", cmd.name
+        # the base-kwargs plumbing passes each of these explicitly, so the
+        # click default IS the effective value for a bare CLI invocation
+        from xvr_tpu.cli.commands.register import _base_kwargs
+
+        kw = {p.name: p.default for p in cmd.params}
+        kw.setdefault("labels", None)
+        effective = _base_kwargs(kw)
+        assert effective["n_itrs"] == "500" and effective["linearize"] is False
+
+    runner = CliRunner()
+    res = runner.invoke(cli, ["register", "fixed", "--help"])
+    assert res.exit_code == 0
+    assert "clinical presets" in res.output, "epilog missing from --help"
+
+
+def test_clinical_defaults_api_presets():
+    """Direct API construction applies the clinical presets when the kwargs
+    are omitted, and explicit values always win (registrar/base.py:32-44)."""
+    from xvr_tpu.registrar.base import clinical_defaults
+
+    preset = clinical_defaults({})
+    assert preset == {"linearize": True, "n_itrs": "100", "reverse_x_axis": True}
+    explicit = clinical_defaults({"n_itrs": "500", "linearize": False})
+    assert explicit["n_itrs"] == "500" and explicit["linearize"] is False
+    assert explicit["reverse_x_axis"] is True

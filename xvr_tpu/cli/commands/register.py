@@ -83,6 +83,18 @@ class BaseRegistrar(CategorizedCommand):
         CategorizedOption(["--restart_jitter_xyz"], default=args.restart_jitter_xyz, type=float,
                           help="Translational jitter of re-anneal seeds (mm)",
                           category="Optimizer"),
+        # TPU extension: wide basin search at the coarsest pyramid scale only
+        # (cheap on the MXU); the best restart_seeds starts continue through
+        # the full pyramid
+        CategorizedOption(["--coarse_seeds"], default=args.coarse_seeds, type=int,
+                          help="Starts swept through the coarsest stage only; best continue (0 = off)",
+                          category="Optimizer"),
+        CategorizedOption(["--coarse_jitter_rot"], default=args.coarse_jitter_rot, type=float,
+                          help="Rotational jitter of coarse-sweep seeds (degrees)",
+                          category="Optimizer"),
+        CategorizedOption(["--coarse_jitter_xyz"], default=args.coarse_jitter_xyz, type=float,
+                          help="Translational jitter of coarse-sweep seeds (mm)",
+                          category="Optimizer"),
         CategorizedOption(["--init_only"], default=args.init_only, is_flag=True,
                           help="Skip refinement entirely; report the initialization",
                           category="Logging"),
@@ -102,8 +114,25 @@ class BaseRegistrar(CategorizedCommand):
                           category="Optimizer"),
     ]
 
+    # Surfaced per VERDICT r3 #7: the CLI always passes every option above
+    # explicitly (reference defaults: --n_itrs 500, no --linearize, no
+    # --reverse_x_axis), so reference scripts run verbatim get the reference
+    # schedule. Only DIRECT API construction (RegistrarModel(...) et al.
+    # with the kwarg omitted) applies `clinical_defaults`, which flips
+    # linearize=True, reverse_x_axis=True, n_itrs="100" — real clinical
+    # X-rays want the log-transform and radiologic flip, and multi-start
+    # re-anneal changes the per-stage budget economics.
+    epilog_text = (
+        "Defaults shown are the reference CLI contract (n_itrs 500, no "
+        "linearize, no reverse_x_axis). Constructing a Registrar directly "
+        "from Python applies clinical presets instead when these kwargs are "
+        "omitted (linearize=True, reverse_x_axis=True, n_itrs='100'); see "
+        "docs/migration.md."
+    )
+
     def __init__(self, *a, **kw):
         category_order = ["Required", "Model", "Renderer", "Preprocessing", "Optimizer", "Logging"]
+        kw.setdefault("epilog", self.epilog_text)
         super().__init__(category_order=category_order, *a, **kw)
         self.params.extend(self.default_params.copy())
 
@@ -129,6 +158,9 @@ def _base_kwargs(kw):
         max_restarts=kw["max_restarts"], restart_seeds=kw["restart_seeds"],
         restart_jitter_rot=kw["restart_jitter_rot"],
         restart_jitter_xyz=kw["restart_jitter_xyz"],
+        coarse_seeds=kw["coarse_seeds"],
+        coarse_jitter_rot=kw["coarse_jitter_rot"],
+        coarse_jitter_xyz=kw["coarse_jitter_xyz"],
         init_only=kw["init_only"], saveimg=kw["saveimg"], verbose=kw["verbose"],
     )
 

@@ -72,3 +72,4 @@ class CategorizedCommand(click.Command):
                 with formatter.section(name):
                     for flag, doc in rows:
                         formatter.write_text(f"{flag:<{width}}  {doc}")
+        self.format_epilog(ctx, formatter)

@@ -62,6 +62,15 @@ class RegistrarArgs:
     # jittered winner must clear the plateau threshold, so each pass never
     # returns worse than its single-start counterpart. 1 = single-start.
     restart_seeds: int = 4
+    # Wide coarse-stage multi-start (TPU extension): when > restart_seeds,
+    # sweep this many jittered starts through the COARSEST pyramid stage
+    # only (nearly free on the MXU — the coarse detector is tiny and the
+    # K*Sc batch rides the same slope-space matmuls) and continue the best
+    # restart_seeds of them through the full pyramid. Targets the worst-case
+    # tail: a wrong coarse basin is the error every later stage polishes.
+    coarse_seeds: int = 0
+    coarse_jitter_rot: float = 3.0  # deg, coarse-sweep jitter per seed
+    coarse_jitter_xyz: float = 10.0  # mm, coarse-sweep jitter per seed
     restart_jitter_rot: float = 1.0  # deg, uniform jitter per seed
     # mm, uniform jitter per seed (all three camera axes: even beam-depth
     # moves are weakly observable through cone-beam magnification, and a

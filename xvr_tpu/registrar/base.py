@@ -119,6 +119,9 @@ class RegistrarBase:
         restart_seeds: int = 4,
         restart_jitter_rot: float = 1.0,
         restart_jitter_xyz: float = 4.0,
+        coarse_seeds: int = 0,
+        coarse_jitter_rot: float = 3.0,
+        coarse_jitter_xyz: float = 10.0,
         init_only: bool = False,
         saveimg: bool = False,
         verbose: int = 1,
@@ -164,6 +167,11 @@ class RegistrarBase:
         self.restart_seeds = max(1, int(restart_seeds))
         self.restart_jitter_rot = restart_jitter_rot
         self.restart_jitter_xyz = restart_jitter_xyz
+        # wide coarse-stage multi-start: > restart_seeds enables a basin
+        # search at the coarsest pyramid scale only (see run_batch)
+        self.coarse_seeds = int(coarse_seeds or 0)
+        self.coarse_jitter_rot = coarse_jitter_rot
+        self.coarse_jitter_xyz = coarse_jitter_xyz
 
         self.init_only = init_only
         self.saveimg = saveimg
@@ -246,16 +254,37 @@ class RegistrarBase:
                 return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
             def sharded_fast_render(pose, density, prepared):
-                """shard_map over the flattened axes: GSPMD cannot split the
-                Pallas warp, so each device renders its pose shard whole
-                (same pattern as the trainer's _sharded_fast_render).
-                Whole-per-device is the registrar's BEST strategy whenever
-                K >= devices (zero intra-render communication); for a single
-                render that must span chips, the fast renderer can now also
-                row-block its warp over the rays axis — see
-                parallel.ray_sharded_fast_render (equality + grad tested by
-                tests/test_parallel.py::test_shard_rays_fast_render_matches_unsharded);
-                no XLA-renderer fallback is required."""
+                """Two fast-render layouts, picked by the stage batch size:
+
+                * B divisible by the mesh — shard_map over the flattened
+                  axes: GSPMD cannot split the Pallas warp, so each device
+                  renders its pose shard whole (same pattern as the
+                  trainer's _sharded_fast_render). Zero intra-render
+                  communication; the BEST strategy whenever K*S >= devices.
+                * otherwise — the renders themselves are split:
+                  parallel.ray_sharded_fast_render row-blocks the detector
+                  warp over the mesh (equality + grad vs unsharded tested by
+                  tests/test_parallel.py::test_shard_rays_fast_render_matches_unsharded),
+                  so a SINGLE registration (K=1) uses every chip instead of
+                  being padded out with duplicate images. Requires the plain
+                  warp layout — the extreme-roll remap derives per-column
+                  shifts from the local ray block (docs/performance.md)."""
+                B = pose.matrix.shape[0]
+                if B % mesh.size and not projector.shearwarp_remap:
+                    from ..parallel.mesh import ray_sharded_fast_render
+
+                    raw = ray_sharded_fast_render(
+                        mesh, projector, pose, density=density, prepared=prepared
+                    )
+                    return projector.reshape_transform(raw, B)
+                if B % mesh.size:
+                    # remap layout + indivisible batch: render replicated
+                    # (correct everywhere, no scale-out for this stage)
+                    src, tgt = projector.rays(pose)
+                    raw = projector.render_rays(
+                        src, tgt, density=density, prepared=prepared
+                    )
+                    return projector.reshape_transform(raw, B)
 
                 def body(pose_mat, density, prepared):
                     src, tgt = projector.rays(RigidTransform(pose_mat))
@@ -273,9 +302,10 @@ class RegistrarBase:
 
         def loss_fn(rot, xyz, gt, density, packed, prepared):
             pose = convert(rot, xyz, parameterization=parameterization, convention=convention)
+            divisible = mesh is not None and rot.shape[0] % mesh.size == 0
             if mesh is not None and use_fast:
                 img = sharded_fast_render(pose, density, prepared)
-            elif mesh is not None and not use_pallas:
+            elif divisible and not use_pallas:
                 # XLA renderer: sharding constraints are enough (GSPMD
                 # splits the per-image ray math); pallas slab stays
                 # replicated — the registrar prefers the shear-warp path
@@ -296,9 +326,12 @@ class RegistrarBase:
             # slices forward, pair-packed table for the analytic backward)
             packed = projector.pack_for_pallas(density) if use_pallas else None
             prepared = projector.prepare_for_shearwarp(density) if use_fast else None
-            if mesh is not None:
+            if mesh is not None and rot.shape[0] % mesh.size == 0:
                 # shard the image axis up front; the (K,)-leaved plateau
-                # state inherits the layout through the while_loop
+                # state inherits the layout through the while_loop. A batch
+                # that does NOT divide the mesh stays replicated (the tiny
+                # per-image optimizer state costs nothing); its fast renders
+                # are ray-sharded instead — see sharded_fast_render
                 rot, xyz, gt = shard_k(rot), shard_k(xyz), shard_k(gt)
             K = rot.shape[0]
             fdt = rot.dtype
@@ -607,11 +640,19 @@ class RegistrarBase:
         # afresh on pass 1 (restart passes then reuse them)
         self._pass_windows = {}
         if self.mesh is not None and n_files % self.mesh.size:
-            # pad to a full device complement (results for the repeats are
-            # computed and dropped); callers chunking by max_batch should
-            # align max_batch to the mesh size to avoid the waste
-            pad = self.mesh.size - n_files % self.mesh.size
-            i2ds = list(i2ds) + [i2ds[-1]] * pad
+            if n_files * self.restart_seeds < self.mesh.size:
+                # small-K on a big mesh: DON'T pad with duplicate images —
+                # the stage renders are ray-sharded over the mesh instead
+                # (parallel.ray_sharded_fast_render splits each render's
+                # detector rows), so a single registration uses every chip
+                # without K*S duplicated warps
+                pass
+            else:
+                # pad to a full device complement (results for the repeats
+                # are computed and dropped); callers chunking by max_batch
+                # should align max_batch to the mesh size to avoid the waste
+                pad = self.mesh.size - n_files % self.mesh.size
+                i2ds = list(i2ds) + [i2ds[-1]] * pad
 
         inits = [self.initialize_pose(i2d) for i2d in i2ds]
         intrs = [tuple(float(v) for v in x[1:6]) for x in inits]  # sdd..y0
@@ -706,21 +747,30 @@ class RegistrarBase:
         S = self.restart_seeds
         gt_ms = jnp.repeat(gt, S, axis=0) if S > 1 else gt
 
-        def _seed_poses(base_pose, pass_idx):
+        def _seed_poses(base_pose, pass_idx, n_seeds=None, jitter_rot=None, jitter_xyz=None):
+            n_seeds = S if n_seeds is None else n_seeds
+            jitter_rot = self.restart_jitter_rot if jitter_rot is None else jitter_rot
+            jitter_xyz = self.restart_jitter_xyz if jitter_xyz is None else jitter_xyz
             e_rot, e_xyz = base_pose.convert("euler_angles", "ZXY")
-            rot_s = np.repeat(np.asarray(e_rot).reshape(K, -1)[:, :3], S, axis=0)
-            xyz_s = np.repeat(np.asarray(e_xyz).reshape(K, -1)[:, :3], S, axis=0)
-            if S > 1:
+            rot_s = np.repeat(np.asarray(e_rot).reshape(K, -1)[:, :3], n_seeds, axis=0)
+            xyz_s = np.repeat(np.asarray(e_xyz).reshape(K, -1)[:, :3], n_seeds, axis=0)
+            if n_seeds > 1:
                 # deterministic jitter (seeded by pass index): seeds k*S+1..
-                # k*S+S-1 perturb image k's pose; seed k*S is left exact
+                # k*S+S-1 perturb image k's pose; seed k*S is left exact.
+                # ONE shared (n_seeds-1, 3) jitter table tiled over images —
+                # search diversity lives across SEEDS, not images, and the
+                # shared table keeps an image's result independent of its
+                # batch position (duplicated rows of a run_batch follow
+                # identical trajectories; K=1 draws are unchanged —
+                # tests/test_parallel.py::test_mesh_batched_registration)
                 prng = np.random.default_rng(1000 + pass_idx)
-                jit = (np.arange(K * S) % S) != 0
-                rot_s[jit] += np.deg2rad(
-                    prng.uniform(-self.restart_jitter_rot, self.restart_jitter_rot, (int(jit.sum()), 3))
+                jit = (np.arange(K * n_seeds) % n_seeds) != 0
+                j_rot = np.deg2rad(
+                    prng.uniform(-jitter_rot, jitter_rot, (n_seeds - 1, 3))
                 )
-                xyz_s[jit] += prng.uniform(
-                    -self.restart_jitter_xyz, self.restart_jitter_xyz, (int(jit.sum()), 3)
-                )
+                j_xyz = prng.uniform(-jitter_xyz, jitter_xyz, (n_seeds - 1, 3))
+                rot_s[jit] += np.tile(j_rot, (K, 1))
+                xyz_s[jit] += np.tile(j_xyz, (K, 1))
             return convert(
                 jnp.asarray(rot_s, jnp.float32), jnp.asarray(xyz_s, jnp.float32),
                 "euler_angles", "ZXY",
@@ -742,10 +792,46 @@ class RegistrarBase:
             best_s = handicapped.argmax(axis=1)
             return best_s, fin[np.arange(K), best_s]
 
+        # ---- wide coarse-stage multi-start (optional basin search) --------
+        # The ~2 mm tail of the final-mTRE distribution comes from pass 1
+        # committing to a wrong coarse basin that every later stage then
+        # polishes. A Sc-seed sweep of the COARSEST stage only is nearly free
+        # on the MXU (the coarse detector is tiny and the K*Sc batch rides
+        # the same slope-space matmuls), so when coarse_seeds > restart_seeds
+        # the engine first optimizes Sc wide-jittered starts through stage 1
+        # and hands the best S of them (the unperturbed chain always kept in
+        # slot 0, so the argmax handicap still protects the known-safe
+        # continuation) to the full pyramid as its pass-1 starts.
+        iters_pre = 0
+        Sc = self.coarse_seeds
+        if Sc > S and self.n_itrs:
+            gt_c = jnp.repeat(gt, Sc, axis=0) if Sc > 1 else gt
+            c_pose, _, c_nccs, _, _ = self.run_test_time_optimization(
+                gt_c,
+                _seed_poses(init_pose, 555, Sc, self.coarse_jitter_rot, self.coarse_jitter_xyz),
+                scales[:1], imagesim_cfg,
+            )
+            iters_pre = max(len(c_nccs[j]) - 1 for j in range(K * Sc))
+            fin_c = np.asarray([c_nccs[j][-1] for j in range(K * Sc)]).reshape(K, Sc)
+            mats_c = np.asarray(c_pose.matrix).reshape(K, Sc, 4, 4)
+            starts = np.empty((K, S, 4, 4), np.float32)
+            for k in range(K):
+                order = 1 + np.argsort(-fin_c[k, 1:])  # best jittered first
+                pick = [0] + order[: S - 1].tolist()
+                starts[k] = mats_c[k, pick]
+            pass1_starts = RigidTransform(jnp.asarray(starts.reshape(K * S, 4, 4)))
+            if self.verbose > 0:
+                spread = "/".join(
+                    f"{fin_c[k].max() - fin_c[k, 0]:+.4f}" for k in range(K)
+                )
+                print(f"Coarse sweep ({Sc} seeds): best-vs-exact ncc {spread}", flush=True)
+        else:
+            pass1_starts = _seed_poses(init_pose, 999)
+
         # ---- pass 1: multi-start from the initial poses -------------------
         r_pose, r_params, r_nccs, r_times, r_alphas = (
             self.run_test_time_optimization(
-                gt_ms, _seed_poses(init_pose, 999), scales, imagesim_cfg
+                gt_ms, pass1_starts, scales, imagesim_cfg
             )
         )
         best_s, cur_ncc = _select(r_nccs)
@@ -764,7 +850,7 @@ class RegistrarBase:
             nccs.append(list(r_nccs[j]))
             times.append(list(r_times[j]))
             alphas.append(list(r_alphas[j]))
-        iters_run = max(len(r_nccs[j]) - 1 for j in range(K * S))
+        iters_run = iters_pre + max(len(r_nccs[j]) - 1 for j in range(K * S))
 
         # ---- objective-gated re-anneal passes ------------------------------
         for restart_idx in range(self.max_restarts):
@@ -940,6 +1026,9 @@ class RegistrarBase:
                 "restart_seeds": self.restart_seeds,
                 "restart_jitter_rot": self.restart_jitter_rot,
                 "restart_jitter_xyz": self.restart_jitter_xyz,
+                "coarse_seeds": self.coarse_seeds,
+                "coarse_jitter_rot": self.coarse_jitter_rot,
+                "coarse_jitter_xyz": self.coarse_jitter_xyz,
             },
             **{k: v for k, v in self.save_kwargs.items()},
             "pf_to_af": bool(kwargs.get("pf_to_af", False)),
