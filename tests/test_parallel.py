@@ -334,19 +334,30 @@ def test_sharded_step_no_involuntary_remat(tmp_path):
         kinds = ("all-reduce", "all-gather", "all-to-all",
                  "collective-permute", "reduce-scatter")
         coll = {k: 0 for k in kinds}
+        n_allreduce = 0
+        biggest_allgather = 0
         for ln in txt.splitlines():
             for k in kinds:
                 if " " + k in ln or ln.lstrip().startswith(k):
                     coll[k] += op_bytes(ln)
+                    if k == "all-reduce":
+                        n_allreduce += 1
+                    if k == "all-gather":
+                        biggest_allgather = max(biggest_allgather, op_bytes(ln))
                     break
         n_params = sum(
             int(np.prod(np.asarray(x.shape)))
             for x in jax.tree.leaves(tr.params)
         )
+        vol_bytes = 4 * int(np.prod(np.asarray(
+            tr.projectors[0][0].density.shape)))
         print(json.dumps({
             "collective_bytes": coll,
             "total_collective_bytes": sum(coll.values()),
             "param_bytes": 4 * n_params,
+            "n_allreduce": n_allreduce,
+            "biggest_allgather_bytes": biggest_allgather,
+            "volume_bytes": vol_bytes,
         }))
     """) % (str(Path(__file__).parent), str(Path(__file__).parent.parent),
             str(tmp_path), str(tmp_path)))
@@ -370,6 +381,15 @@ def test_sharded_step_no_involuntary_remat(tmp_path):
     # decompositions of the same psum. The involuntary re-layout this guards
     # against moved full activation tensors through extra collectives.
     assert stats["total_collective_bytes"] <= 2.5 * stats["param_bytes"], stats
+    # the expected collectives ARE there: gradient/loss psums compile to
+    # all-reduces (a step with none would mean the mesh isn't actually
+    # reducing anything — a silently-replicated "parallel" step)
+    assert stats["n_allreduce"] >= 1, stats
+    # and the CT volume (replicated per chip by design, SURVEY.md section
+    # 2c) is never all-gathered: any volume-sized all-gather means GSPMD
+    # decided to shard-then-regather the density, an HBM-bandwidth
+    # regression invisible in wall-time on the CPU mesh
+    assert stats["biggest_allgather_bytes"] < stats["volume_bytes"], stats
 
 
 @pytest.mark.slow
@@ -437,3 +457,78 @@ def test_shard_rays_fast_render_matches_unsharded():
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4 * scale)
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert cos > 1.0 - 1e-8, cos
+
+
+@pytest.mark.slow
+def test_mesh_single_xray_auto_ray_sharded(tmp_path, monkeypatch):
+    """Auto-dispatch of the ray-sharded fast renderer (VERDICT r3 #5): a K=1
+    registration on a mesh must NOT be padded out with duplicate images —
+    when the stage batch (K * restart_seeds) does not fill the mesh, the
+    registrar skips padding and sharded_fast_render row-blocks each render
+    over the mesh via parallel.ray_sharded_fast_render. Proof is the spy on
+    that function (padding would make the batch divisible and route to the
+    whole-per-device path instead) plus result parity with the mesh-free
+    run. Detector height 36 also exercises the row-padding path (36/2=18
+    rows over 8 shards pads to 24)."""
+    from xvr_tpu.io import dcmwrite
+    from xvr_tpu.io.volumes import read
+    from xvr_tpu.registrar import RegistrarFixed
+    import xvr_tpu.parallel.mesh as pmesh
+
+    monkeypatch.setenv("XVR_FORCE_SHEARWARP", "1")
+    volpath = _write_phantom(tmp_path)
+    vol = read(volpath)
+    proj = Projector.from_volume(vol, sdd=400.0, height=36, delx=5.0)
+    gt_pose = convert(
+        jnp.array([[183.0, -2.0, 4.0]]), jnp.array([[2.0, 200.0, -3.0]]),
+        "euler_angles", "ZXY", degrees=True,
+    )
+    img = np.asarray(proj(gt_pose))[0, 0]
+    xray = tmp_path / "xray.dcm"
+    dcmwrite(xray, (img / img.max() * 60000).astype(np.uint16),
+             sdd=400.0, row_spacing=5.0, col_spacing=5.0)
+
+    calls = []
+    orig = pmesh.ray_sharded_fast_render
+
+    def spy(*a, **k):
+        calls.append(a[0].shape)  # the mesh of each dispatch
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pmesh, "ray_sharded_fast_render", spy)
+
+    def make_reg(mesh, seeds):
+        return RegistrarFixed(
+            volume=volpath, mask=None, orientation="AP",
+            rot=[np.pi, 0.0, 0.0], xyz=[0.0, 200.0, 0.0],
+            linearize=False, scales="2,1", n_itrs="6,4",
+            reverse_x_axis=False, lr_rot=5e-3, lr_xyz=1.0,
+            max_n_plateaus=4, verbose=0, mesh=mesh,
+            restart_seeds=seeds, max_restarts=0,
+        )
+
+    def check(res, ref, tag):
+        # identical seeds; renders equal up to reassociation noise (the
+        # bitwise render-parity claim lives in
+        # test_shard_rays_fast_render_matches_unsharded). Stage 1 must track
+        # tightly; later stages may diverge chaotically (Adam + plateau
+        # machinery amplify 1e-4 render noise), so the END state is held to
+        # "converges comparably", not bit equality.
+        m = np.asarray(res[5]["trajectory"]["ncc"], np.float64)
+        r = np.asarray(ref[5]["trajectory"]["ncc"], np.float64)
+        np.testing.assert_allclose(m[:6], r[:6], atol=2e-3, err_msg=tag)
+        assert m[-1] > r[-1] - 0.05, (tag, m[-1], r[-1])
+
+    mesh = make_mesh(8)  # {dp: 4, rays: 2}
+    # B = K*S = 4: batch shards over dp, rows over rays
+    with mesh:
+        res4 = make_reg(mesh, 4).run(xray, beta=1.0)
+    assert calls, "fast render did not dispatch to the ray-sharded path"
+    check(res4, make_reg(None, 4).run(xray, beta=1.0), "B=4")
+
+    # B = 1: batch replicated, rows over ALL 8 devices (dp folds into rows)
+    calls.clear()
+    with mesh:
+        res1 = make_reg(mesh, 1).run(xray, beta=1.0)
+    assert calls, "K=1/S=1 did not ray-shard"
+    check(res1, make_reg(None, 1).run(xray, beta=1.0), "B=1")

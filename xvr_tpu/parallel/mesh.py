@@ -97,6 +97,14 @@ def ray_sharded_fast_render(mesh: Mesh, projector, pose, density=None, prepared=
     VJP inside ``shard_map`` (ray-block cotangents; replicated-operand
     cotangents are psummed by the transpose). Returns raw ``(B, R)`` line
     integrals like ``projector.render_rays``.
+
+    Layout is picked from the batch size: when B divides ``dp`` the pose
+    batch shards over ``dp`` and rows over ``rays`` (best: each device warps
+    B/dp x H/rays rows); otherwise the batch is replicated and rows shard
+    over EVERY mesh axis, so a single render (B=1) spans the whole mesh.
+    Detector rows that don't divide the row-shard count are padded with
+    duplicates of the last row (independent ray integrals; the pad is
+    dropped before returning).
     """
     from ..render import shearwarp as sw
 
@@ -104,17 +112,25 @@ def ray_sharded_fast_render(mesh: Mesh, projector, pose, density=None, prepared=
         raise ValueError(f"fast renderer required, got {projector.renderer!r}")
     if projector.shearwarp_remap:
         # the barrel-shift warp layout derives per-column shifts from the
-        # local ray block, which would disagree across shards
+        # local ray block, which would disagree across shards (see
+        # docs/performance.md "Ray sharding and the remap layout")
         raise ValueError("ray sharding requires shearwarp_remap=False")
     det = projector.detector
     H, W = det.height, det.width
     B = int(pose.matrix.shape[0])
     shape = dict(mesh.shape)
-    dp, nr = int(shape.get("dp", 1)), int(shape.get("rays", 1))
-    if B % dp:
-        raise ValueError(f"pose batch {B} must divide over dp={dp}")
-    if H % nr:
-        raise ValueError(f"detector rows {H} must divide over rays={nr}")
+    dp = int(shape.get("dp", 1))
+    if B % dp == 0:
+        batch_axis, row_axes = "dp", ("rays",)
+        n_row = int(shape.get("rays", 1))
+    else:
+        # small batch on a big mesh: replicate the batch, row-block over
+        # every axis — each device repeats the cheap per-image accumulate
+        # and warps a 1/mesh.size row slab
+        batch_axis, row_axes = None, tuple(mesh.axis_names)
+        n_row = mesh.size
+    batch_spec = P(batch_axis)
+    ray_spec = P(batch_axis, row_axes)
     density = projector.density if density is None else density
     if prepared is None:
         prepared = projector.prepare_for_shearwarp(density)
@@ -126,24 +142,34 @@ def ray_sharded_fast_render(mesh: Mesh, projector, pose, density=None, prepared=
         projector.affine_inverse, src, tgt,
         perm=projector.pallas_perm, grid_shape=grid_shape,
     )
+    Hp = pad_to_multiple(H, n_row)
+    if Hp != H:
+        # duplicated last-row rays: inside the full-detector grid bounds by
+        # construction, and their integrals are discarded below
+        import jax.numpy as jnp
+
+        tgt = jnp.concatenate(
+            [tgt, jnp.tile(tgt[:, -W:, :], (1, Hp - H, 1))], axis=1
+        )
     eps = 0.25 if projector.renderer.startswith("siddon") else 1.0
     affine_inverse = projector.affine_inverse
 
     def body(src_blk, tgt_blk, density, prepared, *bounds_blk):
         return sw.raymarch_trilinear_fast(
             density, affine_inverse, src_blk, tgt_blk,
-            det_shape=(H // nr, W), perm=projector.pallas_perm,
+            det_shape=(Hp // n_row, W), perm=projector.pallas_perm,
             prepared=prepared, grid_shape=grid_shape,
             warp_window=projector.shearwarp_window,
             eps=eps, grid_bounds=bounds_blk,
         )
 
-    return jax.shard_map(
+    raw = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("dp"), P("dp", "rays"), P(), P()) + (P("dp"),) * 5,
-        out_specs=P("dp", "rays"),
+        in_specs=(batch_spec, ray_spec, P(), P()) + (batch_spec,) * 5,
+        out_specs=ray_spec,
         check_vma=False,  # custom_vjp inside the body
     )(src, tgt, density, prepared, *bounds)
+    return raw[:, : H * W] if Hp != H else raw
 
 
 def pad_to_multiple(n: int, m: int) -> int:
