@@ -84,16 +84,22 @@ def run(
         f"({trainer.projectors[0][0].renderer}), dgeo {first['dgeo']:.1f} mm")
 
     # train in chunks; stop at max_itrs or when the deadline nears (reserve
-    # time for the checkpoint + CNN-forward compile + registration)
-    RESERVE = 90.0
+    # time for the checkpoint + CNN-forward compile + registration — much
+    # more when the pyramid-stage executables are NOT shared from an earlier
+    # registration section: a cold registration costs ~125-300 s). The
+    # deadline outranks min_itrs: a short-trained CNN still yields an honest
+    # init figure, while an overshot global budget risks the driver's kill.
+    RESERVE = 90.0 if stage_cache else 240.0
     itr, t_train0 = 1, time.perf_counter()
     step_s = None
     last = first
     while itr < max_itrs:
         chunk = min(250, max_itrs - itr)
-        if itr >= min_itrs and step_s is not None and (
-            time_left() < chunk * step_s + RESERVE
-        ):
+        if step_s is not None and time_left() < chunk * step_s + RESERVE:
+            if itr < min_itrs:
+                log(f"flagship train: deadline before min_itrs "
+                    f"({itr}/{min_itrs}) — stopping early to protect the "
+                    f"registration reserve")
             break
         tc = time.perf_counter()
         for _ in range(chunk):
@@ -130,10 +136,7 @@ def run(
     fids = np.asarray(meta["fids"], np.float64)
 
     def mtre(pose):
-        M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
-        a = fids @ np.linalg.inv(gt_M)[:3, :3].T + np.linalg.inv(gt_M)[:3, 3]
-        b = fids @ np.linalg.inv(M)[:3, :3].T + np.linalg.inv(M)[:3, 3]
-        return float(np.linalg.norm(a - b, axis=-1).mean())
+        return bench_register.fiducial_mtre(pose.matrix, gt_M, fids)
 
     init_mtre, final_mtre = mtre(init_pose), mtre(final_pose)
     log(f"flagship: trained {itr} itrs in {train_s:.1f}s, CNN init mTRE "

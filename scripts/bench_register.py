@@ -30,6 +30,18 @@ def log(*a):
 
 PHANTOM_VERSION = "v2"  # bump when the construction below changes
 KB = 8  # X-rays in the batched-registration phase
+
+
+def fiducial_mtre(pose_matrix, gt_matrix, fids) -> float:
+    """Mean 3D fiducial error in mm: fiducials carried through the INVERSE
+    of each pose (world -> camera), mean Euclidean distance — one definition
+    shared by every bench script so the published figures and the tests
+    cannot drift apart."""
+    Mi = np.linalg.inv(np.asarray(pose_matrix, np.float64).reshape(4, 4))
+    Gi = np.linalg.inv(np.asarray(gt_matrix, np.float64).reshape(4, 4))
+    a = fids @ Gi[:3, :3].T + Gi[:3, 3]
+    b = fids @ Mi[:3, :3].T + Mi[:3, 3]
+    return float(np.linalg.norm(a - b, axis=-1).mean())
 N_INIT_SPREAD = 8  # total inits in the accuracy-spread phase (main + jittered)
 
 # the most recent run()'s registrar, exposed so later bench sections
@@ -268,12 +280,7 @@ def run(deadline: float | None = None) -> dict:
         extra_finals.append(reg_i.run(d / "xray.dcm")[4])
 
     def mtre(pose):
-        M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
-        Mi = np.linalg.inv(M)
-        Gi = np.linalg.inv(np.asarray(gt_pose.matrix, np.float64)[0])
-        a = fids @ Gi[:3, :3].T + Gi[:3, 3]
-        b = fids @ Mi[:3, :3].T + Mi[:3, 3]
-        return float(np.linalg.norm(a - b, axis=-1).mean())
+        return fiducial_mtre(pose.matrix, np.asarray(gt_pose.matrix)[0], fids)
 
     _, _, dg_init = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, init_pose, SDD))
     rg, tg, dg_fin = (float(np.squeeze(x)) for x in double_geodesic(gt_pose, final_pose, SDD))
@@ -299,15 +306,10 @@ def run(deadline: float | None = None) -> dict:
         bat = reg.run_batch(batch_files)
         batch_warm_s = time.perf_counter() - t0
 
-        def mtre_vs(pose, gt_p):
-            M = np.asarray(pose.matrix, np.float64).reshape(4, 4)
-            Mi = np.linalg.inv(M)
-            Gi = np.linalg.inv(np.asarray(gt_p.matrix, np.float64)[0])
-            a = fids @ Gi[:3, :3].T + Gi[:3, 3]
-            b = fids @ Mi[:3, :3].T + Mi[:3, 3]
-            return float(np.linalg.norm(a - b, axis=-1).mean())
-
-        batch_mtres = [mtre_vs(bat[k][4], gt_batch[k]) for k in range(KB)]
+        batch_mtres = [
+            fiducial_mtre(bat[k][4].matrix, np.asarray(gt_batch[k].matrix)[0], fids)
+            for k in range(KB)
+        ]
         batch_mtre = float(np.median(batch_mtres))
         log(f"batched x{KB}: warm {batch_warm_s:.1f}s ({batch_warm_s / KB:.2f} s/X-ray), "
             f"median mTRE {batch_mtre:.3f} mm (per-image {[round(m, 2) for m in batch_mtres]})")

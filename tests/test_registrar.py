@@ -72,6 +72,23 @@ def test_registration_module(phantom):
     assert np.asarray(reg.pose.matrix).shape == (1, 4, 4)
 
 
+def test_coarse_seeds_noop_warns(phantom, gt_xray):
+    """0 < coarse_seeds <= restart_seeds cannot run the sweep (it would keep
+    at least as many starts as it swept); the engine must say so instead of
+    silently recording the flag in the bundle as if it had been applied."""
+    xray_path, gt_pose = gt_xray
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    reg = RegistrarFixed(
+        volume=phantom / "ct.nii.gz", mask=None, orientation="AP",
+        rot=np.asarray(rot0)[0].tolist(), xyz=np.asarray(xyz0)[0].tolist(),
+        linearize=False, scales="1", n_itrs="2",
+        reverse_x_axis=False, restart_seeds=2, max_restarts=0,
+        coarse_seeds=2, verbose=0,
+    )
+    with pytest.warns(UserWarning, match="coarse_seeds=2 <= restart_seeds=2"):
+        reg.run(xray_path)
+
+
 @pytest.mark.slow
 def test_registrar_converges(phantom, gt_xray):
     xray_path, gt_pose = gt_xray
@@ -617,13 +634,15 @@ def test_siddon_fast_registration_accuracy(phantom, monkeypatch):
     # well-posed exact arm: no model error, must converge tight
     assert m_exact < 0.5, m_exact
     # fast arm: converges, and its residual stays within the smoothing's
-    # voxel-proportional bias budget (0.4 voxel; measured ~0.28 voxel)
+    # voxel-proportional bias budget (0.4 voxel; ~0.05 voxel measured under
+    # the coarse sweep — see the docstring; the budget keeps margin for the
+    # host-thread-count sensitivity the sweep was added to tame)
     assert m_fast < m_init / 3
     assert m_fast <= m_exact + 0.4 * voxel, (m_fast, m_exact)
 
 
 @pytest.mark.slow
-def test_coarse_multistart_never_worse(phantom, gt_xray):
+def test_coarse_multistart_never_worse(phantom, gt_xray, tmp_path):
     """--coarse_seeds sweeps a wide jittered basin search through the
     COARSEST stage only, then continues the best restart_seeds starts through
     the full pyramid. Slot 0 always carries the unperturbed chain (stage
@@ -657,12 +676,9 @@ def test_coarse_multistart_never_worse(phantom, gt_xray):
     assert swept[5]["iters_run"] > plain[5]["iters_run"]
     # the bundle records the sweep configuration (replayability contract)
     import json as _json
-    from pathlib import Path as _P
-    import tempfile as _tf
 
-    out = _P(_tf.mkdtemp())
     reg = make_reg(6)
     reg._stage_cache = {}  # fresh registrar, no state leakage
-    path = reg(xray_path, out)
+    path = reg(xray_path, tmp_path)
     meta = _json.loads((path / "parameters.json").read_text())
     assert meta["optimization"]["coarse_seeds"] == 6

@@ -87,7 +87,8 @@ class BaseRegistrar(CategorizedCommand):
         # (cheap on the MXU); the best restart_seeds starts continue through
         # the full pyramid
         CategorizedOption(["--coarse_seeds"], default=args.coarse_seeds, type=int,
-                          help="Starts swept through the coarsest stage only; best continue (0 = off)",
+                          help="Starts swept through the coarsest stage only; best continue "
+                               "(enabled when > restart_seeds, else a warned no-op; 0 = off)",
                           category="Optimizer"),
         CategorizedOption(["--coarse_jitter_rot"], default=args.coarse_jitter_rot, type=float,
                           help="Rotational jitter of coarse-sweep seeds (degrees)",

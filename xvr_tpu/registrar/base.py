@@ -560,12 +560,19 @@ class RegistrarBase:
                 )
                 proj = proj.replace(shearwarp_window=int(-(-warp_w // 16) * 16))
                 self._pass_windows[wkey] = (proj.shearwarp_window,)
+            # every value _make_stage closes over must key the cache: the
+            # cache may be SHARED across registrar instances (e.g. a bench
+            # harness reusing compiled stages between engines), so config
+            # baked into the stage closure but missing here would silently
+            # run one registrar with another's optimizer/preprocessing
             key = (
                 proj.detector, proj.renderer, proj.pallas_perm,
                 proj.pallas_window, proj.pallas_remap,
                 proj.shearwarp_window, proj.shearwarp_grid,
                 proj.shearwarp_remap, proj.shearwarp_bounds, n_itr, imagesim_cfg,
-                K,
+                K, self.equalize, self.parameterization, self.convention,
+                self.patience, self.threshold, self.max_n_plateaus,
+                self.stage_warmup,
             )
             if key not in self._stage_cache:
                 self._stage_cache[key] = self._make_stage(proj, n_itr, *imagesim_cfg)
@@ -804,6 +811,20 @@ class RegistrarBase:
         # continuation) to the full pyramid as its pass-1 starts.
         iters_pre = 0
         Sc = self.coarse_seeds
+        if 0 < Sc <= S:
+            # sweeping Sc starts only to keep S >= Sc of them would select
+            # nothing — the sweep activates above restart_seeds; say so
+            # instead of silently recording coarse_seeds in the bundle as if
+            # it had run
+            import warnings
+
+            warnings.warn(
+                f"coarse_seeds={Sc} <= restart_seeds={S} is a no-op: the "
+                f"coarse sweep only runs when it is wider than the starts "
+                f"kept for the full pyramid (set coarse_seeds > {S} to "
+                f"enable it)",
+                stacklevel=2,
+            )
         if Sc > S and self.n_itrs:
             gt_c = jnp.repeat(gt, Sc, axis=0) if Sc > 1 else gt
             c_pose, _, c_nccs, _, _ = self.run_test_time_optimization(
