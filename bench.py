@@ -143,6 +143,18 @@ def main():
     target = 5000.0
 
     rng = np.random.default_rng(0)
+
+    # Pay the tunnel's first-dispatch debt HERE, visibly. The tunnel server
+    # charges a client's first real executable execution with cleanup debt
+    # left by previously-exited clients (measured: 88 s after a clean exit,
+    # 500-800 s after a SIGKILLed one) — and block_until_ready can return
+    # early, deferring the stall into whatever is timed next. A matmul
+    # executable with a FORCED scalar readback absorbs the debt under its
+    # own mark, so the headline timer starts against a drained queue.
+    x = jnp.asarray(rng.uniform(size=(1024, 1024)).astype(np.float32))
+    float(np.asarray((x @ x).ravel()[0]))
+    mark("device warmup (tunnel cleanup debt)")
+
     hu = rng.uniform(-1000.0, 1500.0, size=(N, N, N)).astype(np.float32)
     spacing = 1.5
     aff = np.eye(4, dtype=np.float32) * spacing
@@ -150,7 +162,7 @@ def main():
     aff[:3, 3] = -(N - 1) / 2.0 * spacing
     vol = Volume(data=jnp.asarray(hu), affine=jnp.asarray(aff))
     density = transform_hu_to_density(vol.data, 2.0)
-    jax.block_until_ready(density)
+    np.asarray(density.ravel()[:1])  # forced readback, not block_until_ready
     mark("volume prep")
     # host-side affine inverse: the device round-trip (inverse executable +
     # 4x4 readback) is one more draw in the tunnel's first-dispatch latency
@@ -213,7 +225,7 @@ def main():
     # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
     prepared = prepare_shearwarp(density, perm)
     mark("prepare dispatched")
-    jax.block_until_ready(prepared)
+    np.asarray(jax.tree.leaves(prepared)[0].ravel()[:1])  # forced readback
     mark("prepare_shearwarp")
     ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H), host=True)
     ww = int(-(-ww // 8) * 8)
@@ -232,14 +244,26 @@ def main():
         tunnel would otherwise halve the reported figure silently."""
         known = costs.get(f"rate:{name}")
         best, flat = 0.0, 0
+        rtt = None
         for w in range(n_windows):
             keys = jax.random.split(jax.random.PRNGKey(100 + w), n_iter)
             t0 = time.perf_counter()
             for k in keys:
                 out = run_one(k)
-            out.block_until_ready()
+            # sync by READING one element, not block_until_ready: through the
+            # axon tunnel block_until_ready can return before the dispatch
+            # queue drains (observed: 6.9M DRRs/s windows), while a scalar
+            # readback must wait for the real result. The tiny slice
+            # executable is warmed by the caller's compile+first-run step.
+            np.asarray(out.ravel()[:1])
             dt = time.perf_counter() - t0
-            rate = batch * n_iter / dt
+            if rtt is None:
+                # pure readback RTT on the now-ready result; subtracted from
+                # every window so the sync itself doesn't bias the rate
+                t0 = time.perf_counter()
+                np.asarray(out.ravel()[:1])
+                rtt = time.perf_counter() - t0
+            rate = batch * n_iter / max(dt - rtt, 1e-9)
             log(f"{name} window {w}: {rate:.1f} DRRs/s "
                 f"({dt / n_iter * 1e3:.1f} ms / {batch}-batch)")
             flat = flat + 1 if rate < best * 1.01 else 0
@@ -257,8 +281,13 @@ def main():
         return best
 
     # ---- headline: shear-warp MXU trilinear (always runs, emitted first) --
+    # The volume arrays are ARGUMENTS, never closure constants: a closed-over
+    # 64 MB array turns StableHLO lowering into a 4-9 MINUTE host-side stall
+    # on this 1-CPU host (measured: lower 265 s closed vs 1.3 s as args; the
+    # r03 driver burned 983 s mostly here), on top of the embedded-constant
+    # compile pathology already documented in docs/performance.md.
     @jax.jit
-    def render_shearwarp(prepared, key):
+    def render_shearwarp(density, affinv, prepared, key):
         pose = get_random_pose(key, batch_size=B_SW, **ranges)
         src, tgt = det.rays(pose)
         return raymarch_trilinear_shearwarp(
@@ -267,12 +296,13 @@ def main():
         )
 
     t0 = time.perf_counter()
-    render_shearwarp(prepared, jax.random.PRNGKey(0)).block_until_ready()
+    out0 = render_shearwarp(density, affinv, prepared, jax.random.PRNGKey(0))
+    np.asarray(out0.ravel()[:1])  # warm the slice sync executable too
     log(f"shearwarp 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
     mark("headline compile+first run")
     sw = timed_windows(
-        lambda k: render_shearwarp(prepared, k), B_SW, "shearwarp 256^2",
-        n_windows=6, n_iter=15,
+        lambda k: render_shearwarp(density, affinv, prepared, k), B_SW,
+        "shearwarp 256^2", n_windows=6, n_iter=15,
     )
     mark("headline windows")
 
@@ -447,7 +477,7 @@ def main():
     # trapezoid transverse profile at small eps; see render/shearwarp.py)
     def run_siddon_fast():
         @jax.jit
-        def render_siddon_fast(prepared, key):
+        def render_siddon_fast(density, affinv, prepared, key):
             pose = get_random_pose(key, batch_size=B_SW, **ranges)
             src, tgt = det.rays(pose)
             return raymarch_siddon_shearwarp(
@@ -456,11 +486,12 @@ def main():
             )
 
         t0 = time.perf_counter()
-        render_siddon_fast(prepared, jax.random.PRNGKey(0)).block_until_ready()
+        out0 = render_siddon_fast(density, affinv, prepared, jax.random.PRNGKey(0))
+        np.asarray(out0.ravel()[:1])
         log(f"siddon_fast 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
         sid_fast = timed_windows(
-            lambda k: render_siddon_fast(prepared, k), B_SW, "siddon_fast 256^2",
-            n_windows=3, n_iter=15,
+            lambda k: render_siddon_fast(density, affinv, prepared, k), B_SW,
+            "siddon_fast 256^2", n_windows=3, n_iter=15,
         )
         detail["siddon_fast_drrs_per_sec"] = round(sid_fast, 1)
         detail["siddon_fast_vs_baseline"] = round(sid_fast / target, 4)
@@ -480,34 +511,34 @@ def main():
         for i in range(n_labels):
             mask[edges[i] : edges[i + 1], lo:hi, lo:hi] = i + 1
         labels = tuple(range(1, n_labels + 1))
-        prepared_ch = prepare_shearwarp(
-            density, perm, mask=jnp.asarray(mask), labels=labels
-        )
+        mask_dev = jnp.asarray(mask)
+        prepared_ch = prepare_shearwarp(density, perm, mask=mask_dev, labels=labels)
         jax.block_until_ready(prepared_ch)
-        ch_bounds = channel_slab_bounds(jnp.asarray(mask), labels, perm)
+        ch_bounds = channel_slab_bounds(mask_dev, labels, perm)
 
         @jax.jit
-        def render_channels(prepared_ch, key):
+        def render_channels(density, affinv, mask_dev, prepared_ch, key):
             pose = get_random_pose(key, batch_size=B_SW, **ranges)
             src, tgt = det.rays(pose)
             return raymarch_trilinear_shearwarp(
                 density, affinv, src, tgt, perm=perm, prepared=prepared_ch,
-                warp_window=ww, unroll=64, mask=jnp.asarray(mask),
+                warp_window=ww, unroll=64, mask=mask_dev,
                 labels=labels, chan_bounds=ch_bounds,
             )
 
-        return render_channels, prepared_ch, labels, ch_bounds
+        run_one = lambda k: render_channels(density, affinv, mask_dev, prepared_ch, k)
+        return run_one, labels, ch_bounds
 
     def run_channels(n_labels, key_name, n_windows=3):
-        render_channels, prepared_ch, labels, ch_bounds = make_channel_bench(n_labels)
+        run_one, labels, ch_bounds = make_channel_bench(n_labels)
         t0 = time.perf_counter()
-        out0 = render_channels(prepared_ch, jax.random.PRNGKey(0))
-        out0.block_until_ready()
+        out0 = run_one(jax.random.PRNGKey(0))
+        np.asarray(out0.ravel()[:1])
         assert out0.shape[1] == n_labels + 1, out0.shape
         log(f"channels 256^2 ({n_labels} labels): compile+first run "
             f"{time.perf_counter() - t0:.1f}s")
         ch = timed_windows(
-            lambda k: render_channels(prepared_ch, k), B_SW,
+            run_one, B_SW,
             f"channels 256^2 ({n_labels}L)", n_windows=n_windows, n_iter=12,
         )
         detail[key_name] = round(ch, 1)
@@ -545,7 +576,7 @@ def main():
         B512 = 64
 
         @jax.jit
-        def render_512(prepared512, key):
+        def render_512(density512, affinv512, prepared512, key):
             pose = get_random_pose(key, batch_size=B512, **ranges)
             src, tgt = det.rays(pose)
             return raymarch_trilinear_shearwarp(
@@ -554,11 +585,12 @@ def main():
             )
 
         t0 = time.perf_counter()
-        render_512(prepared512, jax.random.PRNGKey(0)).block_until_ready()
+        out0 = render_512(density512, affinv512, prepared512, jax.random.PRNGKey(0))
+        np.asarray(out0.ravel()[:1])
         log(f"shearwarp 512^3: compile+first run {time.perf_counter() - t0:.1f}s")
         sw512 = timed_windows(
-            lambda k: render_512(prepared512, k), B512, "shearwarp 512^3",
-            n_windows=3, n_iter=8,
+            lambda k: render_512(density512, affinv512, prepared512, k), B512,
+            "shearwarp 512^3", n_windows=3, n_iter=8,
         )
         detail["shearwarp_512cube_drrs_per_sec"] = round(sw512, 1)
 
@@ -592,7 +624,7 @@ def main():
         B = 16
 
         @jax.jit
-        def render_trilinear(table, key):
+        def render_trilinear(density, affinv, table, key):
             pose = get_random_pose(key, batch_size=B, **ranges)
             src, tgt = det.rays(pose)
             return raymarch_trilinear_pallas(
@@ -601,7 +633,7 @@ def main():
             )
 
         @jax.jit
-        def render_siddon(table, key):
+        def render_siddon(density, affinv, table, key):
             pose = get_random_pose(key, batch_size=B, **ranges)
             src, tgt = det.rays(pose)
             return raymarch_siddon_pallas(
@@ -614,10 +646,12 @@ def main():
             (render_siddon, "siddon exact 256^2", "siddon_exact_drrs_per_sec"),
         ]:
             t0 = time.perf_counter()
-            fn(table, jax.random.PRNGKey(0)).block_until_ready()
+            out0 = fn(density, affinv, table, jax.random.PRNGKey(0))
+            np.asarray(out0.ravel()[:1])
             log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
             v = timed_windows(
-                lambda k: fn(table, k), B, name, n_windows=1, n_iter=12
+                lambda k: fn(density, affinv, table, k), B, name,
+                n_windows=1, n_iter=12,
             )
             detail[key_name] = round(v, 1)
 
