@@ -11,10 +11,12 @@ printed as soon as the core shear-warp figure exists; after every additional
 section completes the line is RE-printed with the enriched detail — the last
 parseable line wins. A wall-clock budget (``XVR_BENCH_BUDGET`` seconds,
 default 1100 — the r03 driver tolerated 983 s without killing; r02 died past
-~20 min, so stay under ~1200) gates each optional section: sections that
-don't fit are skipped and recorded in detail["skipped"] with
-detail["truncated"] = true, so the run always exits 0 with a parseable line
-well inside the driver's timeout.
+~20 min) gates each optional section: sections that don't fit are skipped
+and recorded in detail["skipped"] with detail["truncated"] = true, so the
+run always exits 0 with a parseable line well inside the driver's timeout.
+When no explicit budget is given and the tunnel's cleanup-debt warmup ate
+into it (see the warmup comment in main), the budget auto-extends to leave
+~750 s of post-warmup work, capped at 1200 s total.
 
 Sections run in CLAIM order: the parity-defining register / train / flagship
 (train -> `register model`) figures come first; channel/512^3/slab variants
@@ -40,7 +42,11 @@ from pathlib import Path
 import numpy as np
 
 T_START = time.perf_counter()
-BUDGET = float(os.environ.get("XVR_BENCH_BUDGET", "1100"))
+_BUDGET_ENV = os.environ.get("XVR_BENCH_BUDGET")
+BUDGET = float(_BUDGET_ENV) if _BUDGET_ENV else 1100.0
+# hard ceiling when auto-extending for tunnel debt (below: the r02 driver
+# killed somewhere past ~20 min; r03 tolerated 983 s — stay at ~1200)
+BUDGET_CAP = 1200.0
 COSTS_PATH = Path(
     os.environ.get("XVR_BENCH_COSTS", "~/.cache/xvr_tpu/bench_costs.json")
 ).expanduser()
@@ -87,44 +93,39 @@ def save_costs(costs: dict) -> None:
         pass
 
 
-def wait_for_healthy_device(attempts: int = 4, probe_timeout: int = 180) -> bool:
-    """Confirm the accelerator answers before this process touches it.
+def warmup_watchdog(deadline_s: float):
+    """Bound the device-warmup step without a subprocess probe.
 
-    The tunneled TPU client can wedge indefinitely on its first device op
-    (e.g. mid-recovery worker); a wedged client never recovers in-process.
-    Probing from SUBPROCESSES keeps this process clean until the device is
-    known healthy, and bounds the failure time instead of hanging the bench.
+    A wedged tunnel client hangs forever on its first op and never recovers
+    in-process; cleanup DEBT (see the warmup comment in main) also stalls the
+    first op, for up to ~15 min, but then clears. One long watchdog covers
+    both: progress logs while draining, hard abort (os._exit — the main
+    thread is stuck inside a readback) once the deadline says this is a
+    wedge, not debt. Subprocess probes are WORSE than this: a probe killed
+    mid-drain is itself an unclean client exit, which compounds the debt it
+    was trying to measure, and a block_until_ready probe can report healthy
+    without ever executing.
     """
-    import subprocess
-    import time as _t
+    import threading
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "(jnp.ones((128,128))@jnp.ones((128,128))).block_until_ready();"
-        "print('OK')"
-    )
-    for i in range(attempts):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True,
-                timeout=probe_timeout, text=True,
-            )
-            if "OK" in r.stdout:
-                log(f"device probe ok (attempt {i + 1})")
-                return True
-            log(f"device probe failed (attempt {i + 1}): rc={r.returncode}")
-        except subprocess.TimeoutExpired:
-            log(f"device probe timed out after {probe_timeout}s (attempt {i + 1})")
-        _t.sleep(30)
-    return False
+    done = threading.Event()
+
+    def watch():
+        waited = 0.0
+        while not done.wait(60.0):
+            waited += 60.0
+            if waited >= deadline_s:
+                log(f"device warmup exceeded {deadline_s:.0f}s: tunnel is "
+                    f"wedged, not paying debt; aborting")
+                os._exit(3)
+            log(f"device warmup still draining ({waited:.0f}s)")
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
 
 
 def main():
-    if not wait_for_healthy_device():
-        log("accelerator unreachable: the tunneled TPU worker did not answer "
-            "any probe; aborting instead of hanging")
-        sys.exit(3)
-    mark("device probe")
+    global BUDGET
     import jax
     import jax.numpy as jnp
 
@@ -142,6 +143,17 @@ def main():
     H = 256  # detector resolution
     target = 5000.0
 
+    def readback(x):
+        """THE sync idiom for this file: force one element to the host.
+
+        Through the axon tunnel ``block_until_ready`` can return before the
+        dispatch queue drains (observed: impossible 6.9M DRRs/s timing
+        windows), silently deferring stalls into whatever is timed next; a
+        readback cannot. Every wait in this file must go through here —
+        reintroducing block_until_ready reintroduces the phantom windows.
+        """
+        return np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
+
     rng = np.random.default_rng(0)
 
     # Pay the tunnel's first-dispatch debt HERE, visibly. The tunnel server
@@ -151,9 +163,32 @@ def main():
     # early, deferring the stall into whatever is timed next. A matmul
     # executable with a FORCED scalar readback absorbs the debt under its
     # own mark, so the headline timer starts against a drained queue.
-    x = jnp.asarray(rng.uniform(size=(1024, 1024)).astype(np.float32))
-    float(np.asarray((x @ x).ravel()[0]))
+    # Separate rng: drawing warmup bytes from the shared seed-0 stream would
+    # silently change hu (and hu512) relative to every prior round's runs.
+    # deadline 1500 s: the largest debt observed is ~900-1100 s and a run
+    # that finishes draining late can STILL emit the headline line (~30 s of
+    # real work), which beats aborting with nothing on stdout
+    wrng = np.random.default_rng(123)
+    done = warmup_watchdog(deadline_s=1500.0)
+    x = jnp.asarray(wrng.uniform(size=(1024, 1024)).astype(np.float32))
+    readback(x @ x)
+    done.set()
     mark("device warmup (tunnel cleanup debt)")
+
+    # The debt is environmental (50-900 s observed) and pure wall-clock: a
+    # fixed budget measured from process start would hand it straight to the
+    # claim-carrying sections. When no explicit XVR_BENCH_BUDGET was given,
+    # extend the effective budget by enough post-warmup time for the
+    # full section chain (~750 s warm), but never past the driver's
+    # tolerance ceiling — sections are claim-ordered, so whatever survives
+    # the cap is the right subset.
+    if _BUDGET_ENV is None:
+        debt = TIMINGS["device warmup (tunnel cleanup debt)"]
+        extended = min(max(BUDGET, elapsed() + 750.0), BUDGET_CAP)
+        if extended != BUDGET:
+            log(f"budget extended {BUDGET:.0f}s -> {extended:.0f}s "
+                f"(warmup debt {debt:.0f}s; cap {BUDGET_CAP:.0f}s)")
+            BUDGET = extended
 
     hu = rng.uniform(-1000.0, 1500.0, size=(N, N, N)).astype(np.float32)
     spacing = 1.5
@@ -162,7 +197,7 @@ def main():
     aff[:3, 3] = -(N - 1) / 2.0 * spacing
     vol = Volume(data=jnp.asarray(hu), affine=jnp.asarray(aff))
     density = transform_hu_to_density(vol.data, 2.0)
-    np.asarray(density.ravel()[:1])  # forced readback, not block_until_ready
+    readback(density)
     mark("volume prep")
     # host-side affine inverse: the device round-trip (inverse executable +
     # 4x4 readback) is one more draw in the tunnel's first-dispatch latency
@@ -225,7 +260,7 @@ def main():
     # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
     prepared = prepare_shearwarp(density, perm)
     mark("prepare dispatched")
-    np.asarray(jax.tree.leaves(prepared)[0].ravel()[:1])  # forced readback
+    readback(prepared)
     mark("prepare_shearwarp")
     ww = measured_warp_window(psrc_h, ptgt_h, affinv_h, perm, (H, H), host=True)
     ww = int(-(-ww // 8) * 8)
@@ -244,26 +279,26 @@ def main():
         tunnel would otherwise halve the reported figure silently."""
         known = costs.get(f"rate:{name}")
         best, flat = 0.0, 0
-        rtt = None
+        rtt = np.inf
         for w in range(n_windows):
             keys = jax.random.split(jax.random.PRNGKey(100 + w), n_iter)
             t0 = time.perf_counter()
             for k in keys:
                 out = run_one(k)
-            # sync by READING one element, not block_until_ready: through the
-            # axon tunnel block_until_ready can return before the dispatch
-            # queue drains (observed: 6.9M DRRs/s windows), while a scalar
-            # readback must wait for the real result. The tiny slice
-            # executable is warmed by the caller's compile+first-run step.
-            np.asarray(out.ravel()[:1])
+            # sync with readback(), never block_until_ready (see the helper's
+            # docstring); the tiny slice executable is warmed by the caller's
+            # compile+first-run step
+            readback(out)
             dt = time.perf_counter() - t0
-            if rtt is None:
-                # pure readback RTT on the now-ready result; subtracted from
-                # every window so the sync itself doesn't bias the rate
-                t0 = time.perf_counter()
-                np.asarray(out.ravel()[:1])
-                rtt = time.perf_counter() - t0
-            rate = batch * n_iter / max(dt - rtt, 1e-9)
+            # pure readback RTT on the now-ready result, subtracted so the
+            # sync doesn't bias the amortized rate. Re-measured every window
+            # with the MIN kept (a single jittery probe must not inflate the
+            # figure) and clamped to 20% of the window: a hiccup-sized rtt
+            # would otherwise zero the denominator and fabricate a headline.
+            t0 = time.perf_counter()
+            readback(out)
+            rtt = min(rtt, time.perf_counter() - t0, 0.2 * dt)
+            rate = batch * n_iter / (dt - rtt)
             log(f"{name} window {w}: {rate:.1f} DRRs/s "
                 f"({dt / n_iter * 1e3:.1f} ms / {batch}-batch)")
             flat = flat + 1 if rate < best * 1.01 else 0
@@ -297,7 +332,7 @@ def main():
 
     t0 = time.perf_counter()
     out0 = render_shearwarp(density, affinv, prepared, jax.random.PRNGKey(0))
-    np.asarray(out0.ravel()[:1])  # warm the slice sync executable too
+    readback(out0)  # warm the slice sync executable too
     log(f"shearwarp 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
     mark("headline compile+first run")
     sw = timed_windows(
@@ -417,7 +452,7 @@ def main():
                 detail[dst_k] = reg_stats[src_k]
 
     # gate = the cold CORE cost (GT-render + 3 pyramid-stage compiles + two
-    # runs); the init-spread/batched phases self-truncate at the 180 s slice
+    # runs); the batched/init-spread phases self-truncate at the 240 s slice
     section("register", 300, run_register, gate=130, slice_s=240)
 
     # -- train step at the reference finetune operating point (batch 116
@@ -451,9 +486,15 @@ def main():
         import bench_register
 
         deadline = min(T_START + BUDGET, time.perf_counter() + 240.0)
+        # tight mode under a debt-squeezed budget: 500 training iterations
+        # (the reference finetune budget) still demonstrate the closed loop
+        # honestly — a worse CNN init, the same sub-mm refinement machinery
+        tight = BUDGET - elapsed() < 220.0
         with redirect_stdout(sys.stderr):
             fl = bench_flagship.run(
                 deadline=deadline,
+                min_itrs=500 if tight else 1000,
+                max_itrs=500 if tight else 2000,
                 stage_cache=getattr(
                     bench_register.LAST_REGISTRAR, "_stage_cache", None
                 ),
@@ -467,14 +508,14 @@ def main():
         detail["register_model_register_s"] = fl["register_s"]
         detail["register_model_train_step_ms"] = fl["train_step_ms"]
 
-    # gate = cold train compile (~60 s) + 500 itrs (~15 s) + CNN-forward
-    # compile + warm registration — warm stages assume the register section
-    # populated the shared stage cache; when it was skipped or errored the
-    # registration is COLD (~125-300 s), so the optimistic gate is dropped
-    # and the estimate falls back to the prior/cold figure
+    # gate = warm train compile + tight-mode 500 itrs (~20 s) + CNN-forward
+    # compile + warm registration (~100 s total) — warm stages assume the
+    # register section populated the shared stage cache; when it was skipped
+    # or errored the registration is COLD (~125-300 s), so the optimistic
+    # gate is dropped and the estimate falls back to the prior/cold figure
     reg_ran = not any(s.split(":")[0] == "register" for s in detail["skipped"])
     section("flagship", 300, run_flagship,
-            gate=160 if reg_ran else None, slice_s=240)
+            gate=110 if reg_ran else None, slice_s=240)
 
     # -- Siddon-flavored shear-warp (the fast `--renderer siddon` path:
     # trapezoid transverse profile at small eps; see render/shearwarp.py)
@@ -490,7 +531,7 @@ def main():
 
         t0 = time.perf_counter()
         out0 = render_siddon_fast(density, affinv, prepared, jax.random.PRNGKey(0))
-        np.asarray(out0.ravel()[:1])
+        readback(out0)
         log(f"siddon_fast 256^2: compile+first run {time.perf_counter() - t0:.1f}s")
         sid_fast = timed_windows(
             lambda k: render_siddon_fast(density, affinv, prepared, k), B_SW,
@@ -536,7 +577,7 @@ def main():
         run_one, labels, ch_bounds = make_channel_bench(n_labels)
         t0 = time.perf_counter()
         out0 = run_one(jax.random.PRNGKey(0))
-        np.asarray(out0.ravel()[:1])
+        readback(out0)
         assert out0.shape[1] == n_labels + 1, out0.shape
         log(f"channels 256^2 ({n_labels} labels): compile+first run "
             f"{time.perf_counter() - t0:.1f}s")
@@ -589,7 +630,7 @@ def main():
 
         t0 = time.perf_counter()
         out0 = render_512(density512, affinv512, prepared512, jax.random.PRNGKey(0))
-        np.asarray(out0.ravel()[:1])
+        readback(out0)
         log(f"shearwarp 512^3: compile+first run {time.perf_counter() - t0:.1f}s")
         sw512 = timed_windows(
             lambda k: render_512(density512, affinv512, prepared512, k), B512,
@@ -650,7 +691,7 @@ def main():
         ]:
             t0 = time.perf_counter()
             out0 = fn(density, affinv, table, jax.random.PRNGKey(0))
-            np.asarray(out0.ravel()[:1])
+            readback(out0)
             log(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s")
             v = timed_windows(
                 lambda k: fn(density, affinv, table, k), B, name,
@@ -671,9 +712,14 @@ def main():
     if local_path:
         import datetime
 
+        coverage = (
+            "full-coverage"
+            if not detail["truncated"] and not detail["skipped"]
+            else f"PARTIAL (skipped: {detail['skipped']})"
+        )
         wrapped = {
             "note": (
-                "Validated in-round full-coverage `python bench.py` run "
+                f"Validated in-round {coverage} `python bench.py` run "
                 f"(real TPU, {datetime.date.today().isoformat()}, budget "
                 f"{BUDGET:.0f}s). Written verbatim by bench.py via "
                 "XVR_BENCH_WRITE_LOCAL; if the driver's BENCH_rNN.json is "
