@@ -47,6 +47,16 @@ BUDGET = float(_BUDGET_ENV) if _BUDGET_ENV else 1100.0
 # hard ceiling when auto-extending for tunnel debt (below: the r02 driver
 # killed somewhere past ~20 min; r03 tolerated 983 s — stay at ~1200)
 BUDGET_CAP = 1200.0
+
+
+def extended_budget(budget: float, elapsed_s: float, explicit: bool,
+                    cap: float = BUDGET_CAP, work_s: float = 750.0) -> float:
+    """Effective budget after the warmup drained: leave ``work_s`` of
+    post-warmup time for the section chain, never exceed ``cap``, and never
+    second-guess an explicitly configured budget."""
+    if explicit:
+        return budget
+    return min(max(budget, elapsed_s + work_s), cap)
 COSTS_PATH = Path(
     os.environ.get("XVR_BENCH_COSTS", "~/.cache/xvr_tpu/bench_costs.json")
 ).expanduser()
@@ -182,13 +192,12 @@ def main():
     # full section chain (~750 s warm), but never past the driver's
     # tolerance ceiling — sections are claim-ordered, so whatever survives
     # the cap is the right subset.
-    if _BUDGET_ENV is None:
-        debt = TIMINGS["device warmup (tunnel cleanup debt)"]
-        extended = min(max(BUDGET, elapsed() + 750.0), BUDGET_CAP)
-        if extended != BUDGET:
-            log(f"budget extended {BUDGET:.0f}s -> {extended:.0f}s "
-                f"(warmup debt {debt:.0f}s; cap {BUDGET_CAP:.0f}s)")
-            BUDGET = extended
+    debt = TIMINGS["device warmup (tunnel cleanup debt)"]
+    extended = extended_budget(BUDGET, elapsed(), explicit=_BUDGET_ENV is not None)
+    if extended != BUDGET:
+        log(f"budget extended {BUDGET:.0f}s -> {extended:.0f}s "
+            f"(warmup debt {debt:.0f}s; cap {BUDGET_CAP:.0f}s)")
+        BUDGET = extended
 
     hu = rng.uniform(-1000.0, 1500.0, size=(N, N, N)).astype(np.float32)
     spacing = 1.5
