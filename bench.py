@@ -649,6 +649,27 @@ def main():
 
     section("cube_512", 70, run_512)
 
+    # -- registration at the TRUE DeepFluoro scale: 512^3 CT, 1436^2 X-ray,
+    # scales 24,12,6 x 500, crop 100 — the 256^3 register section proves the
+    # engine, this proves the reference's actual operating point
+    def run_register_512():
+        import bench_register
+
+        deadline = min(T_START + BUDGET, time.perf_counter() + 300.0)
+        with redirect_stdout(sys.stderr):
+            st = bench_register.run_fullscale(deadline=deadline)
+        for src_k, dst_k in [
+            ("cold_runtime_s", "register_512_cold_s"),
+            ("warm_runtime_s", "register_512_warm_s"),
+            ("mtre_init_mm", "register_512_mtre_init_mm"),
+            ("mtre_final_mm", "register_512_mtre_final_mm"),
+            ("mtre_final_warm_mm", "register_512_mtre_final_warm_mm"),
+        ]:
+            if src_k in st:
+                detail[dst_k] = st[src_k]
+
+    section("register_512", 300, run_register_512, slice_s=300)
+
     # -- slab-marching Pallas kernels (golden/cross-check paths): 1 window
     # each — these are not production paths (see render/pallas.py docstring)
     def run_slab_kernels():

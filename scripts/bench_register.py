@@ -49,7 +49,7 @@ N_INIT_SPREAD = 8  # total inits in the accuracy-spread phase (main + jittered)
 LAST_REGISTRAR = None
 
 
-def build_phantom() -> tuple[Path, dict]:
+def build_phantom(n: int = 256) -> tuple[Path, dict]:
     """Build the deterministic bench phantom, cached on disk.
 
     The CT volume, the 1436^2 ground-truth X-ray, the KB batched-phase
@@ -58,6 +58,10 @@ def build_phantom() -> tuple[Path, dict]:
     the GT renders alone cost ~60 s per bench run otherwise — time the
     driver's budget cannot spare. Returns (dir, meta) with meta arrays
     ``gt_pose`` (4,4), ``fids`` (60,3 world mm), ``batch_poses`` (KB,4,4).
+
+    ``n`` is the CT resolution; the physical extent stays 384 mm, so n=512
+    is the full DeepFluoro-scale operating point (0.75 mm voxels) with the
+    same anatomy. The batched-phase X-rays are built for n=256 only.
     """
     import jax
     import jax.numpy as jnp
@@ -67,9 +71,10 @@ def build_phantom() -> tuple[Path, dict]:
     from xvr_tpu.io.volumes import read
     from xvr_tpu.render import Projector
 
+    suffix = "" if n == 256 else f"_{n}"
     cache = (
         Path("~/.cache/xvr_tpu").expanduser()
-        / f"bench_phantom_{PHANTOM_VERSION}_{jax.default_backend()}"
+        / f"bench_phantom_{PHANTOM_VERSION}_{jax.default_backend()}{suffix}"
     )
     meta_path = cache / "meta.npz"
     if meta_path.exists():
@@ -85,7 +90,7 @@ def build_phantom() -> tuple[Path, dict]:
     # down. Use an ellipsoid body plus a few LARGE, differently-oriented bone
     # structures (diagonal rod, off-center ball, plate) that a 60-pixel
     # pyramid level still resolves. ----
-    n, sp = 256, 1.5
+    sp = 384.0 / n  # fixed 384 mm physical extent at any resolution
     c = (n - 1) / 2
     X, Y, Z = np.meshgrid(*([np.arange(n, dtype=np.float32)] * 3), indexing="ij")
     body = ((X - c) / (0.45 * n)) ** 2 + ((Y - c) / (0.30 * n)) ** 2 + (
@@ -114,16 +119,19 @@ def build_phantom() -> tuple[Path, dict]:
         np.abs(Z - 0.35 * n) < 0.12 * n
     )
     hu = np.maximum(hu, np.where(plate, 1400.0, hu))
-    # band-limit like a real CT (sharp edges alias at coarse pyramid levels)
+    # band-limit like a real CT (sharp edges alias at coarse pyramid levels);
+    # voxel-unit sigmas scale with n so the PHYSICAL content matches across
+    # resolutions
     from scipy.ndimage import gaussian_filter
 
-    hu = gaussian_filter(hu, sigma=2.0).astype(np.float32)
+    hu = gaussian_filter(hu, sigma=2.0 * n / 256).astype(np.float32)
     # trabecular-style texture inside bone: real radiographs are texture-rich
     # and that texture is what the gradient-NCC term locks onto; a smooth
     # phantom under-represents achievable registration accuracy
     prng_tex = np.random.default_rng(5)
     tex = gaussian_filter(
-        prng_tex.normal(0.0, 1.0, hu.shape).astype(np.float32), sigma=1.2
+        prng_tex.normal(0.0, 1.0, hu.shape).astype(np.float32),
+        sigma=1.2 * n / 256,
     )
     tex *= 250.0 / max(tex.std(), 1e-6)
     hu = np.where(hu > 400.0, hu + tex, hu).astype(np.float32)
@@ -158,7 +166,7 @@ def build_phantom() -> tuple[Path, dict]:
     rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
     brng = np.random.default_rng(11)
     batch_mats = []
-    for k in range(KB):
+    for k in range(KB if n == 256 else 0):
         rot_k = np.asarray(rot0)[0] + np.deg2rad(brng.uniform(-0.6, 0.6, 3))
         xyz_k = np.asarray(xyz0)[0] + brng.uniform(-2.5, 2.5, 3)
         pose_k = convert(
@@ -181,13 +189,69 @@ def build_phantom() -> tuple[Path, dict]:
     meta = {
         "gt_pose": np.asarray(gt_pose.matrix, np.float64).reshape(4, 4),
         "fids": fids,
-        "batch_poses": np.stack(batch_mats),
+        "batch_poses": (
+            np.stack(batch_mats) if batch_mats else np.zeros((0, 4, 4))
+        ),
         "sdd": np.float64(SDD),
         "delx": np.float64(DELX),
     }
     np.savez(meta_path, **meta)
     log(f"bench phantom: built and cached ({cache})")
     return cache, meta
+
+
+def run_fullscale(deadline: float | None = None) -> dict:
+    """Registration at the reference's TRUE DeepFluoro scale: a 512^3 CT
+    (0.75 mm voxels, 384 mm extent — real DeepFluoro CTs are ~512x512x300)
+    against the 1436^2 X-ray at scales 24,12,6 x 500 with crop 100. The
+    256^3 sections prove the engine; this proves the operating point.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from xvr_tpu.geometry import RigidTransform
+    from xvr_tpu.registrar import RegistrarFixed
+
+    log(f"device: {jax.devices()[0]}")
+    d, meta = build_phantom(n=512)
+    gt_pose = RigidTransform(jnp.asarray(meta["gt_pose"], jnp.float32).reshape(1, 4, 4))
+    fids = np.asarray(meta["fids"], np.float64)
+
+    rot0, xyz0 = gt_pose.convert("euler_angles", "ZXY")
+    rot_init = np.asarray(rot0)[0] + np.deg2rad([0.6, -0.5, 0.4])
+    xyz_init = np.asarray(xyz0)[0] + np.array([2.0, -3.0, 1.5])
+    reg = RegistrarFixed(
+        volume=d / "ct.nii.gz", mask=None, orientation="AP",
+        rot=rot_init.tolist(), xyz=xyz_init.tolist(),
+        linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
+        reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
+        patience=10, max_n_plateaus=3, verbose=1,
+        coarse_seeds=16,
+    )
+    t0 = time.perf_counter()
+    out = reg.run(d / "xray.dcm")
+    cold_s = time.perf_counter() - t0
+    stats = {
+        "volume": 512,
+        "cold_runtime_s": round(cold_s, 1),
+        "mtre_init_mm": round(
+            fiducial_mtre(out[3].matrix, np.asarray(gt_pose.matrix)[0], fids), 3
+        ),
+        "mtre_final_mm": round(
+            fiducial_mtre(out[4].matrix, np.asarray(gt_pose.matrix)[0], fids), 3
+        ),
+    }
+    # warm run only when the deadline allows (the cold run is the must-have)
+    if deadline is None or deadline - time.perf_counter() > cold_s * 0.5:
+        t0 = time.perf_counter()
+        out = reg.run(d / "xray.dcm")
+        stats["warm_runtime_s"] = round(time.perf_counter() - t0, 1)
+        stats["mtre_final_warm_mm"] = round(
+            fiducial_mtre(out[4].matrix, np.asarray(gt_pose.matrix)[0], fids), 3
+        )
+    log(f"register 512^3: cold {stats['cold_runtime_s']}s, "
+        f"mTRE {stats['mtre_init_mm']} -> {stats['mtre_final_mm']} mm")
+    return stats
 
 
 def run(deadline: float | None = None) -> dict:
