@@ -103,6 +103,43 @@ def save_costs(costs: dict) -> None:
         pass
 
 
+def wait_for_backend_init(total_s: float = 900.0, attempt_s: float = 120.0):
+    """Retry BACKEND INIT (not dispatch) in subprocesses until it succeeds.
+
+    During a tunnel outage ``jax.devices()`` raises UNAVAILABLE (observed
+    2026-08-20: hour-long episodes); a failed in-process init can leave the
+    process stuck with a broken backend, so probe from subprocesses and only
+    init in-process once one succeeds. Init is a handshake — cheap and fast
+    when the tunnel is up — unlike first DISPATCH, which queues for minutes
+    and is handled separately by the warmup step.
+    """
+    import subprocess
+    import time as _t
+
+    t0 = _t.monotonic()
+    code = "import jax; jax.devices(); print('INIT_OK')"
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=attempt_s, text=True,
+            )
+            if "INIT_OK" in r.stdout:
+                if attempt > 1:
+                    log(f"backend init ok (attempt {attempt})")
+                return
+            log(f"backend init failed (attempt {attempt}): "
+                f"{(r.stderr or '').strip().splitlines()[-1][:120] if r.stderr else r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"backend init probe timed out ({attempt_s:.0f}s, attempt {attempt})")
+        if _t.monotonic() - t0 > total_s:
+            log(f"backend unavailable for {total_s:.0f}s; aborting")
+            sys.exit(3)
+        _t.sleep(30)
+
+
 def warmup_watchdog(deadline_s: float):
     """Bound the device-warmup step without a subprocess probe.
 
@@ -136,6 +173,8 @@ def warmup_watchdog(deadline_s: float):
 
 def main():
     global BUDGET
+    wait_for_backend_init()
+    mark("backend init probe")
     import jax
     import jax.numpy as jnp
 
