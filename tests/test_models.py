@@ -10,7 +10,7 @@ from xvr_tpu.models import PoseRegressor, create_backbone, init_pose_regressor
 
 def test_backbone_feature_dim():
     m = create_backbone("resnet18")
-    x = jnp.zeros((2, 64, 64, 1))
+    x = jnp.zeros((2, 32, 32, 1))
     params = m.init(jax.random.PRNGKey(0), x)
     feats = m.apply(params, x)
     assert feats.shape == (2, 512)
@@ -29,9 +29,9 @@ def test_unknown_model_name():
 def test_regressor_heads(parameterization, n):
     model = PoseRegressor(model_name="resnet18", parameterization=parameterization, convention="ZXY")
     params = init_pose_regressor(model, jax.random.PRNGKey(0), 32)
-    rot, xyz = model.apply(params, jnp.zeros((3, 1, 32, 32)))
-    assert rot.shape == (3, n)
-    assert xyz.shape == (3, 3)
+    rot, xyz = model.apply(params, jnp.zeros((2, 1, 32, 32)))
+    assert rot.shape == (2, n)
+    assert xyz.shape == (2, 3)
 
 
 def test_regressor_decode_valid_pose():

@@ -55,7 +55,10 @@ def test_random_pose_circle_shift():
 
 
 def test_augmentations_shapes_and_determinism():
-    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 64, 64))
+    # same (2, 1, 32, 32) shape as the p=0 test below: the eager pipeline's
+    # per-op XLA cache is shape-keyed, so sharing the shape compiles the
+    # heavy ops (CLAHE conv, blur) once for both tests
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 32, 32))
     key = jax.random.PRNGKey(42)
     a1 = xray_augmentations(key, x, p=0.9)
     a2 = xray_augmentations(key, x, p=0.9)
