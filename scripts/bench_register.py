@@ -318,14 +318,40 @@ def run(deadline: float | None = None) -> dict:
     def time_left():
         return np.inf if deadline is None else deadline - time.perf_counter()
 
+    # Accuracy over a SPREAD of initializations: a single trajectory with
+    # plateau-counted early exit is a high-variance observable (run-to-run
+    # reassociation noise alone moves the final mTRE by >1 mm on this
+    # phantom); the median over perturbed inits is the stable figure and the
+    # WORST over the spread is the claim-shaped one (the reference says
+    # "submillimeter", not "submillimeter in the median" — README.md:20).
+    # Extra inits reuse the compiled stages, so each costs ~one warm run.
+    # Runs BEFORE the batched phase: worst-over-inits is a claim-carrying
+    # figure, while the batched throughput is garnish whose COLD cost (the
+    # K=8 stage compiles, ~2 min on a wiped compile cache) would otherwise
+    # starve the spread out of the section's slice.
+    extra_finals = [final_pose]
+    for seed in range(1, N_INIT_SPREAD):
+        if time_left() < 4 * warm_s:
+            log(f"bench_register: skipping extra-init {seed} (deadline near)")
+            break
+        prng = np.random.default_rng(seed)
+        reg_i = RegistrarFixed(
+            volume=d / "ct.nii.gz", mask=None, orientation="AP",
+            rot=(np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))).tolist(),
+            xyz=(np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)).tolist(),
+            linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
+            reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
+            patience=10, max_n_plateaus=3, verbose=0,
+            coarse_seeds=16,
+        )
+        reg_i._stage_cache = reg._stage_cache  # reuse compiled stages
+        extra_finals.append(reg_i.run(d / "xray.dcm")[4])
+
     # ---- batched registration: K DISTINCT X-rays per optimization (the TPU
     # answer to the reference's 1800-job SLURM sweeps). Each X-ray comes from
     # its own ground-truth pose near the shared fixed init — the realistic
-    # sweep shape: one init strategy, per-image refinement. Runs BEFORE the
-    # init spread: its keys carry the batched-throughput claims the docs
-    # cite, while the spread's per-init loop self-truncates gracefully.
-    # Skipped when the deadline is near (the K=8 stage compiles are the
-    # cost).
+    # sweep shape: one init strategy, per-image refinement. Skipped when the
+    # deadline is near (the K=8 stage compiles are the cost).
     batch_stats = {}
     if time_left() > 10 * warm_s + 60:
         # the KB X-rays and their ground-truth poses are pre-rendered by
@@ -360,31 +386,6 @@ def run(deadline: float | None = None) -> dict:
         }
     else:
         log("bench_register: skipping batched phase (deadline near)")
-
-    # Accuracy over a SPREAD of initializations: a single trajectory with
-    # plateau-counted early exit is a high-variance observable (run-to-run
-    # reassociation noise alone moves the final mTRE by >1 mm on this
-    # phantom); the median over perturbed inits is the stable figure and the
-    # WORST over the spread is the claim-shaped one (the reference says
-    # "submillimeter", not "submillimeter in the median" — README.md:20).
-    # Extra inits reuse the compiled stages, so each costs ~one warm run.
-    extra_finals = [final_pose]
-    for seed in range(1, N_INIT_SPREAD):
-        if time_left() < 4 * warm_s:
-            log(f"bench_register: skipping extra-init {seed} (deadline near)")
-            break
-        prng = np.random.default_rng(seed)
-        reg_i = RegistrarFixed(
-            volume=d / "ct.nii.gz", mask=None, orientation="AP",
-            rot=(np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))).tolist(),
-            xyz=(np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)).tolist(),
-            linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
-            reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
-            patience=10, max_n_plateaus=3, verbose=0,
-            coarse_seeds=16,
-        )
-        reg_i._stage_cache = reg._stage_cache  # reuse compiled stages
-        extra_finals.append(reg_i.run(d / "xray.dcm")[4])
 
     def mtre(pose):
         return fiducial_mtre(pose.matrix, np.asarray(gt_pose.matrix)[0], fids)
