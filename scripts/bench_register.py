@@ -15,6 +15,7 @@ there is minutes.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -26,6 +27,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root (no
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# Shared cost memo (same file bench.py uses): the optional phases here gate
+# themselves on MEASURED prior costs, not cold-sized guesses — with the
+# persistent XLA compile cache a "cold" process is far cheaper than a truly
+# cold one, and a cold-sized gate starves phases whose executables are
+# already on disk (advisor finding r4 on the batched phase).
+MEMO_PATH = Path(
+    os.environ.get("XVR_BENCH_COSTS", "~/.cache/xvr_tpu/bench_costs.json")
+).expanduser()
+
+
+def _memo_load() -> dict:
+    try:
+        return json.loads(MEMO_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _memo_store(**kv) -> None:
+    try:
+        memo = _memo_load()
+        memo.update(kv)
+        MEMO_PATH.parent.mkdir(parents=True, exist_ok=True)
+        MEMO_PATH.write_text(json.dumps(memo))
+    except OSError:
+        pass
 
 
 PHANTOM_VERSION = "v2"  # bump when the construction below changes
@@ -42,11 +70,24 @@ def fiducial_mtre(pose_matrix, gt_matrix, fids) -> float:
     a = fids @ Gi[:3, :3].T + Gi[:3, 3]
     b = fids @ Mi[:3, :3].T + Mi[:3, 3]
     return float(np.linalg.norm(a - b, axis=-1).mean())
-N_INIT_SPREAD = 8  # total inits in the accuracy-spread phase (main + jittered)
+N_INIT_SPREAD = 16  # total inits in the accuracy-spread phase (main + jittered)
 
 # the most recent run()'s registrar, exposed so later bench sections
 # (bench_flagship) can share its compiled pyramid-stage executables
 LAST_REGISTRAR = None
+
+
+def phantom_cache_dir(n: int = 256) -> Path:
+    """Disk-cache location of the bench phantom (keyed by version, backend,
+    and resolution) — exposed so deadline gating can ask "is the expensive
+    phantom build already paid?" without triggering it."""
+    import jax
+
+    suffix = "" if n == 256 else f"_{n}"
+    return (
+        Path("~/.cache/xvr_tpu").expanduser()
+        / f"bench_phantom_{PHANTOM_VERSION}_{jax.default_backend()}{suffix}"
+    )
 
 
 def build_phantom(n: int = 256) -> tuple[Path, dict]:
@@ -71,11 +112,7 @@ def build_phantom(n: int = 256) -> tuple[Path, dict]:
     from xvr_tpu.io.volumes import read
     from xvr_tpu.render import Projector
 
-    suffix = "" if n == 256 else f"_{n}"
-    cache = (
-        Path("~/.cache/xvr_tpu").expanduser()
-        / f"bench_phantom_{PHANTOM_VERSION}_{jax.default_backend()}{suffix}"
-    )
+    cache = phantom_cache_dir(n)
     meta_path = cache / "meta.npz"
     if meta_path.exists():
         meta = dict(np.load(meta_path))
@@ -213,7 +250,39 @@ def run_fullscale(deadline: float | None = None) -> dict:
     from xvr_tpu.registrar import RegistrarFixed
 
     log(f"device: {jax.devices()[0]}")
-    d, meta = build_phantom(n=512)
+
+    def left():
+        return np.inf if deadline is None else deadline - time.perf_counter()
+
+    # Deadline gates BEFORE the expensive irreversible steps (advisor r4):
+    # the one-time 512^3 phantom build (~270 s) and the cold registration
+    # core (~250 s of stage compiles on a wiped compile cache) each check
+    # the remaining slice against the last MEASURED cost before starting,
+    # so a cold-cache run cannot silently push the whole bench past the
+    # driver's budget. A skip returns {"skipped_reason": ...} for the
+    # artifact instead of raising.
+    memo = _memo_load()
+    cold_est = memo.get("register_512:cold_core_s", 300.0)
+    if not (phantom_cache_dir(512) / "meta.npz").exists():
+        build_est = memo.get("register_512:phantom_build_s", 290.0)
+        if left() < build_est + cold_est:
+            reason = (
+                f"phantom build ~{build_est:.0f}s + cold core ~{cold_est:.0f}s "
+                f"> {left():.0f}s left"
+            )
+            log(f"register_512: skipped ({reason})")
+            return {"skipped_reason": reason}
+        t0 = time.perf_counter()
+        d, meta = build_phantom(n=512)
+        _memo_store(**{
+            "register_512:phantom_build_s": round(time.perf_counter() - t0, 1)
+        })
+    else:
+        d, meta = build_phantom(n=512)
+    if left() < cold_est:
+        reason = f"cold core ~{cold_est:.0f}s > {left():.0f}s left"
+        log(f"register_512: skipped ({reason})")
+        return {"skipped_reason": reason}
     gt_pose = RigidTransform(jnp.asarray(meta["gt_pose"], jnp.float32).reshape(1, 4, 4))
     fids = np.asarray(meta["fids"], np.float64)
 
@@ -231,6 +300,7 @@ def run_fullscale(deadline: float | None = None) -> dict:
     t0 = time.perf_counter()
     out = reg.run(d / "xray.dcm")
     cold_s = time.perf_counter() - t0
+    _memo_store(**{"register_512:cold_core_s": round(cold_s, 1)})
     stats = {
         "volume": 512,
         "cold_runtime_s": round(cold_s, 1),
@@ -329,23 +399,33 @@ def run(deadline: float | None = None) -> dict:
     # figure, while the batched throughput is garnish whose COLD cost (the
     # K=8 stage compiles, ~2 min on a wiped compile cache) would otherwise
     # starve the spread out of the section's slice.
+    # Each extra init swaps ``init_pose`` on the SAME registrar (stage
+    # executables, projector, and device-resident volume all reused), so a
+    # seed costs ~one warm run instead of a full registrar rebuild — that is
+    # what lets the spread stretch to 16 seeds inside the section slice
+    # (verdict r4 #7: pin the worst-over-inits tail with more draws).
+    from xvr_tpu.geometry import convert as _convert
+
+    orig_init_pose = reg.init_pose
     extra_finals = [final_pose]
     for seed in range(1, N_INIT_SPREAD):
         if time_left() < 4 * warm_s:
-            log(f"bench_register: skipping extra-init {seed} (deadline near)")
+            log(f"bench_register: stopping init spread at {len(extra_finals)} "
+                f"(deadline near)")
             break
         prng = np.random.default_rng(seed)
-        reg_i = RegistrarFixed(
-            volume=d / "ct.nii.gz", mask=None, orientation="AP",
-            rot=(np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))).tolist(),
-            xyz=(np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)).tolist(),
-            linearize=False, scales="24,12,6", n_itrs="500,500,500", crop=100,
-            reverse_x_axis=False, lr_rot=1e-2, lr_xyz=1.0,
-            patience=10, max_n_plateaus=3, verbose=0,
-            coarse_seeds=16,
+        reg.init_pose = _convert(
+            jnp.asarray(
+                [np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))],
+                jnp.float32,
+            ),
+            jnp.asarray(
+                [np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)], jnp.float32
+            ),
+            parameterization=reg.parameterization, convention=reg.convention,
         )
-        reg_i._stage_cache = reg._stage_cache  # reuse compiled stages
-        extra_finals.append(reg_i.run(d / "xray.dcm")[4])
+        extra_finals.append(reg.run(d / "xray.dcm")[4])
+    reg.init_pose = orig_init_pose  # the batched phase registers from the main init
 
     # ---- batched registration: K DISTINCT X-rays per optimization (the TPU
     # answer to the reference's 1800-job SLURM sweeps). Each X-ray comes from
@@ -353,7 +433,16 @@ def run(deadline: float | None = None) -> dict:
     # sweep shape: one init strategy, per-image refinement. Skipped when the
     # deadline is near (the K=8 stage compiles are the cost).
     batch_stats = {}
-    if time_left() > 10 * warm_s + 60:
+    # Admission by MEASURED prior (advisor r4): once the K=8 stage
+    # executables are in the persistent compile cache, a "cold" batch run
+    # costs a fraction of the truly-cold figure, so gate on the last
+    # measurement (1.3x margin) when one exists and fall back to the
+    # cold-sized gate only on a first-ever run. A skip is recorded in the
+    # stats dict (``batch_skipped``) so the artifact distinguishes
+    # "skipped" from "missing".
+    prior_bc = _memo_load().get("register:batch_cold_s")
+    need = prior_bc * 1.3 + 3 * warm_s if prior_bc is not None else 10 * warm_s + 60
+    if time_left() > need:
         # the KB X-rays and their ground-truth poses are pre-rendered by
         # build_phantom (disk-cached alongside the volume)
         gt_batch = [
@@ -362,30 +451,41 @@ def run(deadline: float | None = None) -> dict:
         ]
         batch_files = [d / f"xray_b{k}.dcm" for k in range(KB)]
         t0 = time.perf_counter()
-        reg.run_batch(batch_files)  # pays the K=8 stage compiles
+        bat = reg.run_batch(batch_files)  # pays the K=8 stage compiles
         batch_cold_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        bat = reg.run_batch(batch_files)
-        batch_warm_s = time.perf_counter() - t0
+        _memo_store(**{"register:batch_cold_s": round(batch_cold_s, 1)})
+        batch_stats = {
+            # batched registration (K X-rays per optimization, shared wall time)
+            "batch_k": KB,
+            "batch_cold_s": round(batch_cold_s, 1),
+        }
+        # the warm rerun is the claim-carrying per-X-ray figure but is
+        # skippable mid-phase: the cold run above already yields poses
+        prior_bw = _memo_load().get("register:batch_warm_s", batch_cold_s * 0.5)
+        if time_left() > prior_bw * 1.3:
+            t0 = time.perf_counter()
+            bat = reg.run_batch(batch_files)
+            batch_warm_s = time.perf_counter() - t0
+            _memo_store(**{"register:batch_warm_s": round(batch_warm_s, 1)})
+            batch_stats["batch_warm_s"] = round(batch_warm_s, 1)
+            batch_stats["batch_warm_s_per_xray"] = round(batch_warm_s / KB, 2)
+        else:
+            log("bench_register: skipping batched WARM rerun (deadline near)")
+            batch_stats["batch_skipped"] = "warm rerun (deadline near)"
 
         batch_mtres = [
             fiducial_mtre(bat[k][4].matrix, np.asarray(gt_batch[k].matrix)[0], fids)
             for k in range(KB)
         ]
         batch_mtre = float(np.median(batch_mtres))
-        log(f"batched x{KB}: warm {batch_warm_s:.1f}s ({batch_warm_s / KB:.2f} s/X-ray), "
+        log(f"batched x{KB}: cold {batch_cold_s:.1f}s, "
             f"median mTRE {batch_mtre:.3f} mm (per-image {[round(m, 2) for m in batch_mtres]})")
-        batch_stats = {
-            # batched registration (K X-rays per optimization, shared wall time)
-            "batch_k": KB,
-            "batch_warm_s": round(batch_warm_s, 1),
-            "batch_warm_s_per_xray": round(batch_warm_s / KB, 2),
-            "batch_cold_s": round(batch_cold_s, 1),
-            "batch_mtre_median_mm": round(batch_mtre, 3),
-            "batch_mtre_worst_mm": round(max(batch_mtres), 3),
-        }
+        batch_stats["batch_mtre_median_mm"] = round(batch_mtre, 3)
+        batch_stats["batch_mtre_worst_mm"] = round(max(batch_mtres), 3)
     else:
-        log("bench_register: skipping batched phase (deadline near)")
+        log(f"bench_register: skipping batched phase (need {need:.0f}s, "
+            f"{time_left():.0f}s left)")
+        batch_stats = {"batch_skipped": f"deadline near (need {need:.0f}s)"}
 
     def mtre(pose):
         return fiducial_mtre(pose.matrix, np.asarray(gt_pose.matrix)[0], fids)

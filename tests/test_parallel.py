@@ -297,7 +297,7 @@ def test_sharded_step_no_involuntary_remat(tmp_path):
 
     script = tmp_path / "remat_probe.py"
     script.write_text(textwrap.dedent("""
-        import json, re, sys
+        import json, sys
         import numpy as np
         import jax, jax.numpy as jnp
 
@@ -321,44 +321,18 @@ def test_sharded_step_no_involuntary_remat(tmp_path):
             tr.step(0)  # also execute once: surfaces runtime SPMD warnings
             jax.block_until_ready(tr.params)
 
-        def op_bytes(line):
-            m = re.search(r"=\\s*\\w+\\[([\\d,]*)\\]", line)
-            if not m:
-                return 0
-            dims = [int(d) for d in m.group(1).split(",") if d]
-            n = 1
-            for d in dims:
-                n *= d
-            return 4 * n
+        from xvr_tpu.parallel import collective_bytes_summary
 
-        kinds = ("all-reduce", "all-gather", "all-to-all",
-                 "collective-permute", "reduce-scatter")
-        coll = {k: 0 for k in kinds}
-        n_allreduce = 0
-        biggest_allgather = 0
-        for ln in txt.splitlines():
-            for k in kinds:
-                if " " + k in ln or ln.lstrip().startswith(k):
-                    coll[k] += op_bytes(ln)
-                    if k == "all-reduce":
-                        n_allreduce += 1
-                    if k == "all-gather":
-                        biggest_allgather = max(biggest_allgather, op_bytes(ln))
-                    break
+        summary = collective_bytes_summary(txt)
         n_params = sum(
             int(np.prod(np.asarray(x.shape)))
             for x in jax.tree.leaves(tr.params)
         )
         vol_bytes = 4 * int(np.prod(np.asarray(
             tr.projectors[0][0].density.shape)))
-        print(json.dumps({
-            "collective_bytes": coll,
-            "total_collective_bytes": sum(coll.values()),
-            "param_bytes": 4 * n_params,
-            "n_allreduce": n_allreduce,
-            "biggest_allgather_bytes": biggest_allgather,
-            "volume_bytes": vol_bytes,
-        }))
+        summary["param_bytes"] = 4 * n_params
+        summary["volume_bytes"] = vol_bytes
+        print(json.dumps(summary))
     """) % (str(Path(__file__).parent), str(Path(__file__).parent.parent),
             str(tmp_path), str(tmp_path)))
     env = dict(os.environ)

@@ -48,7 +48,7 @@ class BaseRegistrar(CategorizedCommand):
                           category="Renderer"),
         CategorizedOption(["--renderer"], default=args.renderer,
                           type=click.Choice(["siddon", "trilinear", "siddon_exact", "trilinear_exact"]),
-                          help="Ray-integration model for DRR synthesis; *_exact pins the slow exact-model XLA path (no kernel upgrade)",
+                          help="Ray-integration model for DRR synthesis; siddon runs the fast kernel on an eps=0.25-voxel smoothed profile (exact adjoint of the smoothed model; bound ~0.05 voxel, see docs/migration.md); *_exact pins the slow exact-model XLA path (autodiff gradients, no kernel upgrade)",
                           category="Renderer"),
         CategorizedOption(["--parameterization"], default=args.parameterization, type=str,
                           help="Rotation representation optimized over", category="Optimizer"),

@@ -49,7 +49,7 @@ from ..logging import start_run
                     help="Detector pixel pitch, mm", category="Renderer")
 @categorized_option("--renderer", default=args.renderer,
                     type=click.Choice(["siddon", "trilinear", "siddon_exact", "trilinear_exact"]),
-                    help="Ray-integration model for DRR synthesis; *_exact pins the slow exact-model XLA path (no kernel upgrade)",
+                    help="Ray-integration model for DRR synthesis; siddon runs the fast kernel on an eps=0.25-voxel smoothed profile (exact adjoint of the smoothed model; bound ~0.05 voxel, see docs/migration.md); *_exact pins the slow exact-model XLA path (autodiff gradients, no kernel upgrade)",
                     category="Renderer")
 @categorized_option("--orientation", default=args.orientation, type=click.Choice(["AP", "PA"]),
                     help="Anatomical viewing convention for the volumes", category="Renderer")

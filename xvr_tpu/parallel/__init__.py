@@ -1,3 +1,4 @@
+from .introspect import collective_bytes_summary
 from .mesh import (
     make_mesh,
     ray_sharded_fast_render,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "collective_bytes_summary",
     "make_mesh",
     "ray_sharded_fast_render",
     "replicate_tree",
