@@ -96,9 +96,15 @@ def load_costs() -> dict:
 
 
 def save_costs(costs: dict) -> None:
+    """Merge-on-write: bench_register._memo_store writes its own keys
+    (register:batch_cold_s, register_512:cold_core_s, ...) to the SAME file
+    mid-run; rewriting from this process's startup snapshot would clobber
+    them (observed r5: the 512^3 admission keys vanished after every run)."""
     try:
+        merged = load_costs()
+        merged.update(costs)
         COSTS_PATH.parent.mkdir(parents=True, exist_ok=True)
-        COSTS_PATH.write_text(json.dumps(costs))
+        COSTS_PATH.write_text(json.dumps(merged))
     except OSError:
         pass
 
@@ -479,11 +485,14 @@ def main():
         # phase when the compile cache is warm. The spread and batched
         # phases self-truncate at the deadline (checked between seeds and
         # between the batched cold/warm runs inside bench_register.run).
+        # cap overridable for in-round record runs with real budget headroom
+        # (driver runs keep the 300 s starvation protection)
+        cap = float(os.environ.get("XVR_BENCH_REGISTER_SLICE_CAP", 300.0))
         reserve = 0.0
         for nm, fallback in (("train", 90.0), ("flagship", 110.0)):
             c = costs.get(nm)
             reserve += min(c * 1.4, fallback) if c is not None else fallback
-        slice_s = min(300.0, max(150.0, BUDGET - elapsed() - reserve - 40.0))
+        slice_s = min(cap, max(150.0, BUDGET - elapsed() - reserve - 40.0))
         log(f"register slice: {slice_s:.0f}s (reserved {reserve:.0f}s for train+flagship)")
         deadline = min(T_START + BUDGET, time.perf_counter() + slice_s)
         # registrar progress prints go to stderr: stdout is JSON lines only
@@ -520,7 +529,11 @@ def main():
     def run_train():
         import bench_train
 
-        deadline = min(T_START + BUDGET, time.perf_counter() + 130.0)
+        # 130 s covers the unmasked compile + windows; the masked phase needs
+        # ~150 s more (cold labelmap-channel compile), which only record runs
+        # with real budget headroom should pay — raise the cap there
+        cap = float(os.environ.get("XVR_BENCH_TRAIN_SLICE_CAP", 130.0))
+        deadline = min(T_START + BUDGET, time.perf_counter() + cap)
         with redirect_stdout(sys.stderr):
             train_stats = bench_train.run(
                 n_windows=2, n_steps=10, deadline=deadline

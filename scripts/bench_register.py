@@ -460,8 +460,14 @@ def run(deadline: float | None = None) -> dict:
             "batch_cold_s": round(batch_cold_s, 1),
         }
         # the warm rerun is the claim-carrying per-X-ray figure but is
-        # skippable mid-phase: the cold run above already yields poses
-        prior_bw = _memo_load().get("register:batch_warm_s", batch_cold_s * 0.5)
+        # skippable mid-phase: the cold run above already yields poses.
+        # First-ever estimate: the stage executables are in-process now, so
+        # a warm batch costs ~K lockstep warm trajectories (measured ~0.5x
+        # the single-X-ray warm cost each), NOT half the cold figure — the
+        # cold run is dominated by the K=8 stage compiles/loads (r5 run 2:
+        # cold 149.9 s, actual warm ~12 s; the 0.5x-cold default starved
+        # the phase the advisor r4 finding was about).
+        prior_bw = _memo_load().get("register:batch_warm_s", warm_s * KB * 0.6)
         if time_left() > prior_bw * 1.3:
             t0 = time.perf_counter()
             bat = reg.run_batch(batch_files)
