@@ -223,10 +223,16 @@ def main():
     # deadline 1500 s: the largest debt observed is ~900-1100 s and a run
     # that finishes draining late can STILL emit the headline line (~30 s of
     # real work), which beats aborting with nothing on stdout
+    # TWO distinct executables, both read back, both under the watchdog: the
+    # debt can DEFER past the first readback onto the next executable's
+    # (observed r5 run 4: warmup matmul returned in 9 s, then the
+    # prepare_shearwarp readback wedged ~25 min) — a second, different
+    # executable makes the deferred variant land inside this mark too.
     wrng = np.random.default_rng(123)
     done = warmup_watchdog(deadline_s=1500.0)
     x = jnp.asarray(wrng.uniform(size=(1024, 1024)).astype(np.float32))
     readback(x @ x)
+    readback(jnp.tanh(x).sum())
     done.set()
     mark("device warmup (tunnel cleanup debt)")
 
@@ -428,19 +434,23 @@ def main():
         ``gate`` CAPS the estimate for the deadline-aware sub-benches
         (register/train/flagship): their measured total stretches to their
         deadline slice, but a rerun's bounded core is all that must fit —
-        the optional phases self-truncate. The cap is DROPPED when the last
-        measurement blew past the section's own slice (``slice_s``): that
-        means the unbounded core itself overran (degraded tunnel, wiped
-        compile cache), and exactly those sections must be able to raise
-        their estimates again. The stored cost is the LAST measurement (not
-        the historical minimum) for the same reason; under-estimating is
-        safe regardless because emission is incremental.
+        the optional phases self-truncate. Stored costs are capped at 1.2x
+        the slice THE RUN ACTUALLY HAD (``costs["<name>:slice"]``, written
+        by the section body): without the cap, one env-cap-raised record
+        run (r5: register 499 s under cap 500) or one transient tunnel
+        wedge (r5: train 465 s against a 300 s slice) poisons the memo and
+        starves the section out of every future driver-budget run — a
+        deadlock, since only running the section can correct its estimate.
+        The degraded-day protection the old uncapped estimate provided now
+        lives INSIDE the sections (deadline-checked phases + claim ordering
+        + incremental emission), so admission stays optimistic: worst case
+        a cold core overshoots its slice by its own bounded cost, which the
+        driver tolerance has absorbed before (r04: 1,276 s vs 1,200).
+        Under-estimating is safe regardless because emission is incremental.
         """
         prior = costs.get(name)
         est = prior * 1.4 if prior is not None else (gate if gate is not None else cold_est)
-        if gate is not None and not (
-            prior is not None and slice_s is not None and prior > slice_s * 1.2
-        ):
+        if gate is not None:
             est = min(est, gate)
         left = BUDGET - elapsed()
         if est > left:
@@ -458,7 +468,10 @@ def main():
             detail["truncated"] = True  # an errored run is not full coverage
         else:
             measured = time.perf_counter() - t0
-            costs[name] = measured
+            own_slice = costs.get(f"{name}:slice", slice_s)
+            costs[name] = (
+                min(measured, own_slice * 1.2) if own_slice is not None else measured
+            )
             save_costs(costs)
             TIMINGS[f"section:{name}"] = round(measured, 1)
         emit()
@@ -493,6 +506,7 @@ def main():
             c = costs.get(nm)
             reserve += min(c * 1.4, fallback) if c is not None else fallback
         slice_s = min(cap, max(150.0, BUDGET - elapsed() - reserve - 40.0))
+        costs["register:slice"] = slice_s  # the slice this measurement ran under
         log(f"register slice: {slice_s:.0f}s (reserved {reserve:.0f}s for train+flagship)")
         deadline = min(T_START + BUDGET, time.perf_counter() + slice_s)
         # registrar progress prints go to stderr: stdout is JSON lines only
@@ -533,6 +547,7 @@ def main():
         # ~150 s more (cold labelmap-channel compile), which only record runs
         # with real budget headroom should pay — raise the cap there
         cap = float(os.environ.get("XVR_BENCH_TRAIN_SLICE_CAP", 130.0))
+        costs["train:slice"] = cap  # the slice this measurement ran under
         deadline = min(T_START + BUDGET, time.perf_counter() + cap)
         with redirect_stdout(sys.stderr):
             train_stats = bench_train.run(
