@@ -96,13 +96,22 @@ def load_costs() -> dict:
 
 
 def save_costs(costs: dict) -> None:
-    """Merge-on-write: bench_register._memo_store writes its own keys
-    (register:batch_cold_s, register_512:cold_core_s, ...) to the SAME file
-    mid-run; rewriting from this process's startup snapshot would clobber
-    them (observed r5: the 512^3 admission keys vanished after every run)."""
+    """Write only the keys THIS process changed, on top of the file's
+    current contents. bench_register._memo_store writes its own keys
+    (register:batch_cold_s, register_512:cold_core_s, ...) to the SAME
+    file mid-run — and ``costs`` holds a startup snapshot of the whole
+    file, so a plain write OR a plain merge re-imposes stale snapshot
+    values over them (observed r5 twice: first the 512^3 admission keys
+    vanished; then a blanket ``merged.update(costs)`` kept resurrecting a
+    stall-inflated batch_cold_s that had been corrected on disk)."""
+    baseline = getattr(save_costs, "baseline", {})
     try:
         merged = load_costs()
-        merged.update(costs)
+        for k, v in costs.items():
+            if baseline.get(k) != v:
+                merged[k] = v
+                baseline[k] = v
+        save_costs.baseline = baseline
         COSTS_PATH.parent.mkdir(parents=True, exist_ok=True)
         COSTS_PATH.write_text(json.dumps(merged))
     except OSError:
@@ -315,6 +324,7 @@ def main():
     )
 
     costs = load_costs()  # cost + best-rate memo (feeds timed_windows too)
+    save_costs.baseline = dict(costs)  # changed-key detection (see save_costs)
     perm = choose_permutation_for_pose(np.eye(3), affinv_h)
     B_SW = 192  # MXU utilization peaks near this pose batch (measured sweep
     # over B x unroll: 192/64 > 128/64 > 256/64 by a few percent)
@@ -816,6 +826,9 @@ def main():
             ("mtre_init_mm", "register_512_mtre_init_mm"),
             ("mtre_final_mm", "register_512_mtre_final_mm"),
             ("mtre_final_warm_mm", "register_512_mtre_final_warm_mm"),
+            ("mtre_final_median_mm", "register_512_mtre_median_mm"),
+            ("mtre_final_worst_mm", "register_512_mtre_worst_mm"),
+            ("n_init_spread", "register_512_n_init_spread"),
         ]:
             if src_k in st:
                 detail[dst_k] = st[src_k]

@@ -282,6 +282,8 @@ def run_fullscale(deadline: float | None = None) -> dict:
     if left() < cold_est:
         reason = f"cold core ~{cold_est:.0f}s > {left():.0f}s left"
         log(f"register_512: skipped ({reason})")
+        # decay-on-skip, same self-healing rationale as the batched phase
+        _memo_store(**{"register_512:cold_core_s": round(cold_est * 0.7, 1)})
         return {"skipped_reason": reason}
     gt_pose = RigidTransform(jnp.asarray(meta["gt_pose"], jnp.float32).reshape(1, 4, 4))
     fids = np.asarray(meta["fids"], np.float64)
@@ -312,15 +314,50 @@ def run_fullscale(deadline: float | None = None) -> dict:
         ),
     }
     # warm run only when the deadline allows (the cold run is the must-have)
+    warm_s = None
     if deadline is None or deadline - time.perf_counter() > cold_s * 0.5:
         t0 = time.perf_counter()
         out = reg.run(d / "xray.dcm")
-        stats["warm_runtime_s"] = round(time.perf_counter() - t0, 1)
+        warm_s = time.perf_counter() - t0
+        stats["warm_runtime_s"] = round(warm_s, 1)
         stats["mtre_final_warm_mm"] = round(
             fiducial_mtre(out[4].matrix, np.asarray(gt_pose.matrix)[0], fids), 3
         )
+    # init SPREAD at the true scale, same rationale as run()'s: the tail
+    # (worst over jittered inits) is the claim-shaped statistic. Each seed
+    # swaps init_pose on the same registrar (~one warm run each) and the
+    # loop is deadline-gated per seed, so a tight driver budget just yields
+    # a narrower spread.
+    if warm_s is not None:
+        from xvr_tpu.geometry import convert as _convert
+
+        finals = [stats["mtre_final_mm"], stats["mtre_final_warm_mm"]]
+        for seed in range(1, 7):
+            if left() < 4 * warm_s:
+                log(f"register_512: stopping init spread at {len(finals)} finals")
+                break
+            prng = np.random.default_rng(100 + seed)
+            reg.init_pose = _convert(
+                jnp.asarray(
+                    [np.asarray(rot0)[0] + np.deg2rad(prng.uniform(-0.8, 0.8, 3))],
+                    jnp.float32,
+                ),
+                jnp.asarray(
+                    [np.asarray(xyz0)[0] + prng.uniform(-3.0, 3.0, 3)], jnp.float32
+                ),
+                parameterization=reg.parameterization, convention=reg.convention,
+            )
+            out_i = reg.run(d / "xray.dcm")
+            finals.append(round(
+                fiducial_mtre(out_i[4].matrix, np.asarray(gt_pose.matrix)[0], fids), 3
+            ))
+        stats["mtre_final_median_mm"] = round(float(np.median(finals)), 3)
+        stats["mtre_final_worst_mm"] = round(float(max(finals)), 3)
+        stats["n_init_spread"] = len(finals)
     log(f"register 512^3: cold {stats['cold_runtime_s']}s, "
-        f"mTRE {stats['mtre_init_mm']} -> {stats['mtre_final_mm']} mm")
+        f"mTRE {stats['mtre_init_mm']} -> {stats['mtre_final_mm']} mm "
+        f"(spread {stats.get('n_init_spread', 1)}: median "
+        f"{stats.get('mtre_final_median_mm')}, worst {stats.get('mtre_final_worst_mm')})")
     return stats
 
 
@@ -492,6 +529,14 @@ def run(deadline: float | None = None) -> dict:
         log(f"bench_register: skipping batched phase (need {need:.0f}s, "
             f"{time_left():.0f}s left)")
         batch_stats = {"batch_skipped": f"deadline near (need {need:.0f}s)"}
+        # decay the measured prior on every skip: a stall-inflated
+        # measurement (r5: 284s stored for a ~150s phase) would otherwise
+        # raise the admission threshold above every future slice and the
+        # phase could never run to correct itself — the same deadlock the
+        # section-cost cap in bench.py closes, self-healing here because
+        # the next actual run re-measures whatever the true cost is
+        if prior_bc is not None:
+            _memo_store(**{"register:batch_cold_s": round(prior_bc * 0.7, 1)})
 
     def mtre(pose):
         return fiducial_mtre(pose.matrix, np.asarray(gt_pose.matrix)[0], fids)
