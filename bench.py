@@ -479,9 +479,13 @@ def main():
         else:
             measured = time.perf_counter() - t0
             own_slice = costs.get(f"{name}:slice", slice_s)
-            costs[name] = (
-                min(measured, own_slice * 1.2) if own_slice is not None else measured
-            )
+            # sliceless sections (siddon_fast/channels/cube/slab) get the
+            # same poisoning protection at 3x their cold estimate: r5
+            # rehearsal 4 hit a ~5 min tunnel stall inside channels_6 and
+            # stored 333.6 s for a ~35 s section, which would have skipped
+            # it on every debt-laden day after
+            cap = own_slice * 1.2 if own_slice is not None else cold_est * 3.0
+            costs[name] = min(measured, cap)
             save_costs(costs)
             TIMINGS[f"section:{name}"] = round(measured, 1)
         emit()
