@@ -331,8 +331,10 @@ def run_fullscale(deadline: float | None = None) -> dict:
     if warm_s is not None:
         from xvr_tpu.geometry import convert as _convert
 
-        finals = [stats["mtre_final_mm"], stats["mtre_final_warm_mm"]]
-        for seed in range(1, 7):
+        # one entry per DISTINCT init (same convention as run()'s spread):
+        # the main init contributes its warm final once, then jittered seeds
+        finals = [stats["mtre_final_warm_mm"]]
+        for seed in range(1, 8):
             if left() < 4 * warm_s:
                 log(f"register_512: stopping init spread at {len(finals)} finals")
                 break
