@@ -126,11 +126,17 @@ def main() -> int:
     t0 = time.perf_counter()
     np.asarray((x @ x).ravel()[:1])  # forced readback: block_until_ready can lie
     warmup_s = time.perf_counter() - t0
+    # steady probe uses a DIFFERENT executable: the debt can defer past the
+    # first executable's readback onto the next one's (observed r5: a 9 s
+    # "warmup" followed by a ~25 min wedge on the following readback), and a
+    # repeat of the same executable can dodge the deferred variant
     t0 = time.perf_counter()
-    np.asarray((x @ x).ravel()[:1])
+    np.asarray(jnp.tanh(x).sum().ravel()[:1])
     steady_s = time.perf_counter() - t0
 
-    clean = warmup_s <= args.max_warmup_s and not orphans
+    # steady_s participates: a huge steady probe = the deferred-debt variant
+    # landed there, so the tunnel was NOT clean when we arrived
+    clean = warmup_s <= args.max_warmup_s and steady_s <= args.max_warmup_s and not orphans
     print(
         f"[{stamp}] tunnel_hygiene device={dev} init={init_s:.1f}s "
         f"first_dispatch={warmup_s:.1f}s steady={steady_s:.2f}s "
