@@ -53,6 +53,35 @@ def _xvr_invocations(text):
             yield shlex.split(line)
 
 
+def test_reference_script_flags_exist():
+    """THE compat contract (docs/migration.md: "Scripts written against the
+    modern reference CLI run unchanged"): every --flag the REFERENCE's own
+    modern experiment scripts pass to `xvr` must exist on our command of
+    the same name. Skipped where the reference checkout is absent; the
+    v1-submission tree is deliberately out of scope (docs/migration.md)."""
+    import pytest
+
+    ref = Path("/root/reference/scripts")
+    if not ref.is_dir():
+        pytest.skip("reference checkout not available")
+    scripts = [
+        p for p in sorted(ref.glob("*/*/*.sh")) if "v1-submission" not in p.parts
+    ]
+    assert len(scripts) >= 15, scripts
+    problems = []
+    for sh in scripts:
+        for tokens in _xvr_invocations(sh.read_text()):
+            cmd, rest = _command_for(tokens)
+            if isinstance(cmd, Group):
+                problems.append(f"{sh}: unresolved subcommand in {tokens[:3]}")
+                continue
+            known = _known_flags(cmd)
+            for tok in rest:
+                if tok.startswith("--") and tok.split("=")[0] not in known:
+                    problems.append(f"{sh}: {cmd.name} has no option {tok}")
+    assert not problems, "\n".join(problems)
+
+
 def test_experiment_script_flags_exist():
     scripts = sorted(REPO.glob("scripts/*/*/*.sh"))
     assert len(scripts) >= 18, f"experiment tree went missing? {len(scripts)}"
