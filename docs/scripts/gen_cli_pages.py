@@ -35,7 +35,9 @@ PAGES = {
 
 
 def help_text(cmd: str) -> str:
-    r = CliRunner().invoke(
+    # click wraps help at the terminal width (COLUMNS); pin it so the pages
+    # (and the freshness test in tests/test_docs.py) are environment-stable
+    r = CliRunner(env={"COLUMNS": "80"}).invoke(
         cli, cmd.split() + ["--help"], catch_exceptions=False,
         prog_name="xvr",
     )
